@@ -1,0 +1,43 @@
+"""Test configuration: emulate an 8-device TPU pod slice on CPU.
+
+The sharding/distribution tests need multiple devices; following the strategy
+in SURVEY.md §4, we force 8 virtual CPU devices before JAX initializes.
+"""
+
+import os
+
+# Force the virtual CPU mesh even when the ambient environment pins a real
+# accelerator platform (e.g. JAX_PLATFORMS=axon) or has already imported
+# jax; jax.config.update works as long as no backend has been initialized.
+# Set XLB_TEST_ON_TPU=1 to run the suite against real hardware instead.
+if not os.environ.get("XLB_TEST_ON_TPU"):
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_global_state():
+    """Each test starts from a clean DefaultConfig and BC registry."""
+    from xlb_tpu.default_config import DefaultConfig
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    DefaultConfig.reset()
+    boundary_condition_registry.reset()
+    yield
+
+
+def init_env(velocity_set_cls, precision="FP32FP32", backend=None):
+    """Mirror of the reference's init_xlb_env test helper."""
+    import xlb_tpu as xlb
+
+    backend = backend or xlb.ComputeBackend.JAX
+    vs = velocity_set_cls(precision_policy=xlb.PrecisionPolicy[precision], compute_backend=backend)
+    xlb.init(velocity_set=vs, default_backend=backend, default_precision_policy=xlb.PrecisionPolicy[precision])
+    return vs

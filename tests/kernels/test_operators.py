@@ -1,0 +1,149 @@
+"""Analytic unit tests for the core operators.
+
+Mirrors the reference's kernel test strategy
+(tests/kernels/collision/test_bgk_collision_jax.py:21-50 etc.): each operator
+is checked against its closed-form definition on random or constant fields.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import init_env
+from xlb_tpu.velocity_set import D2Q9, D3Q19, D3Q27
+
+
+ALL_SETS = [D2Q9, D3Q19, D3Q27]
+
+
+@pytest.mark.parametrize("vs_cls", ALL_SETS)
+def test_velocity_set_invariants(vs_cls):
+    vs = init_env(vs_cls)
+    c, w = vs._c, vs._w
+    # zeroth/first/second moment identities of the quadrature
+    assert abs(w.sum() - 1.0) < 1e-12
+    assert np.allclose((c * w).sum(axis=1), 0.0)
+    second = np.einsum("iq,jq,q->ij", c, c, w)
+    assert np.allclose(second, np.eye(vs.d) / 3.0, atol=1e-12)
+    # opposites
+    assert np.all(c[:, vs._opp_indices] == -c)
+    assert vs._opp_indices[vs.center_index] == vs.center_index
+
+
+@pytest.mark.parametrize("vs_cls,shape", [(D2Q9, (16, 16)), (D3Q19, (8, 8, 8)), (D3Q27, (8, 8, 8))])
+def test_equilibrium_moments(vs_cls, shape):
+    """feq must reproduce its defining moments: sum feq = rho, sum c feq = rho u."""
+    vs = init_env(vs_cls)
+    from xlb_tpu.ops import QuadraticEquilibrium, Macroscopic
+
+    rng = np.random.default_rng(0)
+    rho = 1.0 + 0.1 * rng.random((1, *shape), dtype=np.float32)
+    u = 0.05 * rng.standard_normal((vs.d, *shape)).astype(np.float32)
+
+    feq = QuadraticEquilibrium()(jnp.asarray(rho), jnp.asarray(u))
+    rho_out, u_out = Macroscopic()(feq)
+    np.testing.assert_allclose(np.asarray(rho_out), rho, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_out), u, atol=1e-5)
+
+
+@pytest.mark.parametrize("vs_cls,shape", [(D2Q9, (16, 16)), (D3Q19, (8, 8, 8))])
+@pytest.mark.parametrize("omega", [0.6, 1.0, 1.54])
+def test_bgk_collision_analytic(vs_cls, shape, omega):
+    vs = init_env(vs_cls)
+    from xlb_tpu.ops import BGK, QuadraticEquilibrium
+
+    rng = np.random.default_rng(1)
+    f = jnp.asarray(rng.random((vs.q, *shape), dtype=np.float32))
+    rho = jnp.ones((1, *shape), dtype=jnp.float32)
+    u = jnp.zeros((vs.d, *shape), dtype=jnp.float32)
+    feq = QuadraticEquilibrium()(rho, u)
+
+    fout = BGK()(f, feq, omega)
+    expected = np.asarray(f) - omega * (np.asarray(f) - np.asarray(feq))
+    np.testing.assert_allclose(np.asarray(fout), expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("vs_cls,shape", [(D2Q9, (8, 8)), (D3Q19, (5, 6, 7))])
+def test_stream_pull_roundtrip(vs_cls, shape):
+    """Pull-streaming shifts each population by +c_l periodically; push
+    inverts pull."""
+    vs = init_env(vs_cls)
+    from xlb_tpu.ops.stream import stream_pull, stream_push
+
+    rng = np.random.default_rng(2)
+    f = rng.random((vs.q, *shape), dtype=np.float32)
+    fs = np.asarray(stream_pull(jnp.asarray(f), vs._c))
+    for l in range(vs.q):
+        expected = np.roll(f[l], shift=tuple(vs._c[:, l]), axis=tuple(range(vs.d)))
+        np.testing.assert_array_equal(fs[l], expected)
+    back = np.asarray(stream_push(jnp.asarray(fs), vs._c))
+    np.testing.assert_array_equal(back, f)
+
+
+def test_kbc_matches_bgk_at_equilibrium():
+    """At f = feq, both KBC and BGK must be identity."""
+    vs = init_env(D3Q27)
+    from xlb_tpu.ops import KBC, BGK, QuadraticEquilibrium
+
+    rng = np.random.default_rng(3)
+    shape = (6, 6, 6)
+    rho = jnp.asarray(1.0 + 0.05 * rng.random((1, *shape), dtype=np.float32))
+    u = jnp.asarray(0.02 * rng.standard_normal((vs.d, *shape)).astype(np.float32))
+    feq = QuadraticEquilibrium()(rho, u)
+
+    out_kbc = KBC()(feq, feq, 1.2)
+    out_bgk = BGK()(feq, feq, 1.2)
+    np.testing.assert_allclose(np.asarray(out_kbc), np.asarray(feq), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_bgk), np.asarray(feq), rtol=1e-6)
+
+
+def test_kbc_conserves_mass_momentum():
+    vs = init_env(D3Q27)
+    from xlb_tpu.ops import KBC, QuadraticEquilibrium, Macroscopic
+
+    rng = np.random.default_rng(4)
+    shape = (5, 5, 5)
+    rho = jnp.asarray(1.0 + 0.05 * rng.random((1, *shape), dtype=np.float32))
+    u = jnp.asarray(0.03 * rng.standard_normal((vs.d, *shape)).astype(np.float32))
+    feq = QuadraticEquilibrium()(rho, u)
+    # perturb while keeping rho, u: add a multiple of (f - feq) won't do;
+    # instead collide a slightly different state toward this feq
+    f = feq * (1.0 + 0.01 * jnp.asarray(rng.standard_normal((vs.q, *shape)).astype(np.float32)))
+    rho_in, mom_in = Macroscopic()(f)
+    mom_in = mom_in * rho_in
+
+    fout = KBC()(f, QuadraticEquilibrium()(*Macroscopic()(f)), 1.7)
+    rho_out, u_out = Macroscopic()(fout)
+    mom_out = u_out * rho_out
+    np.testing.assert_allclose(np.asarray(rho_out), np.asarray(rho_in), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mom_out), np.asarray(mom_in), atol=1e-6)
+
+
+def test_smagorinsky_reduces_to_bgk_at_equilibrium():
+    vs = init_env(D3Q19)
+    from xlb_tpu.ops import SmagorinskyLESBGK, QuadraticEquilibrium
+
+    shape = (4, 4, 4)
+    rho = jnp.ones((1, *shape), dtype=jnp.float32)
+    u = jnp.zeros((vs.d, *shape), dtype=jnp.float32)
+    feq = QuadraticEquilibrium()(rho, u)
+    out = SmagorinskyLESBGK()(feq, feq, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(feq), rtol=1e-6)
+
+
+def test_exact_difference_forcing_adds_momentum():
+    vs = init_env(D2Q9)
+    from xlb_tpu.ops import ForcedCollision, BGK, QuadraticEquilibrium, Macroscopic
+
+    shape = (8, 8)
+    rho = jnp.ones((1, *shape), dtype=jnp.float32)
+    u = jnp.zeros((vs.d, *shape), dtype=jnp.float32)
+    feq = QuadraticEquilibrium()(rho, u)
+
+    force = np.array([1e-3, 0.0])
+    fc = ForcedCollision(BGK(), force_vector=force)
+    fout = fc(feq, feq, 1.0)
+    _, u_out = Macroscopic()(fout)
+    # exact-difference forcing adds exactly F/rho to the velocity
+    np.testing.assert_allclose(np.asarray(u_out[0]), 1e-3, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(u_out[1]), 0.0, atol=1e-7)

@@ -1,0 +1,24 @@
+from xlb_tpu.boundary.registry import boundary_condition_registry, BoundaryConditionRegistry
+from xlb_tpu.boundary.base import BoundaryCondition, ImplementationStep
+from xlb_tpu.boundary.bc_equilibrium import EquilibriumBC
+from xlb_tpu.boundary.bc_do_nothing import DoNothingBC
+from xlb_tpu.boundary.bc_bounce_back import FullwayBounceBackBC, HalfwayBounceBackBC
+from xlb_tpu.boundary.bc_zouhe import ZouHeBC
+from xlb_tpu.boundary.bc_regularized import RegularizedBC
+from xlb_tpu.boundary.bc_extrapolation_outflow import ExtrapolationOutflowBC
+from xlb_tpu.boundary.maskers import IndicesBoundaryMasker
+
+__all__ = [
+    "boundary_condition_registry",
+    "BoundaryConditionRegistry",
+    "BoundaryCondition",
+    "ImplementationStep",
+    "EquilibriumBC",
+    "DoNothingBC",
+    "FullwayBounceBackBC",
+    "HalfwayBounceBackBC",
+    "ZouHeBC",
+    "RegularizedBC",
+    "ExtrapolationOutflowBC",
+    "IndicesBoundaryMasker",
+]

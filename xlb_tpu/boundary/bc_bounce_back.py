@@ -1,0 +1,99 @@
+"""Bounce-back boundary conditions (fullway and halfway, with moving walls).
+
+Parity with reference bc_fullway_bounce_back.py:50-57 and
+bc_halfway_bounce_back.py:30-192.
+"""
+
+from typing import Callable, Tuple, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from xlb_tpu.boundary.base import BoundaryCondition, ImplementationStep
+
+
+class FullwayBounceBackBC(BoundaryCondition):
+    """No-slip wall: at tagged (solid-shell) voxels every population is
+    replaced by the opposite pre-streaming population.  Applied at the
+    COLLISION step."""
+
+    def __init__(
+        self,
+        velocity_set=None,
+        precision_policy=None,
+        compute_backend=None,
+        indices=None,
+        mesh_vertices=None,
+        voxelization_method=None,
+    ):
+        super().__init__(
+            ImplementationStep.COLLISION,
+            velocity_set,
+            precision_policy,
+            compute_backend,
+            indices,
+            mesh_vertices,
+            voxelization_method,
+        )
+
+    def __call__(self, f_pre, f_post, bc_mask, missing_mask):
+        flipped = f_pre[self.velocity_set._opp_indices]
+        return jnp.where(self.boundary_map(bc_mask), flipped, f_post)
+
+
+class HalfwayBounceBackBC(BoundaryCondition):
+    """Halfway bounce-back on the fluid-side shell: only missing directions
+    are reflected, with an optional moving-wall momentum correction
+
+        f_l <- f_pre[opp(l)] + 6 w_l rho0 (c_l . u_wall)
+
+    (reference bc_halfway_bounce_back.py:116-143).  ``prescribed_value`` gives
+    a constant wall velocity; ``profile`` a callable returning one.
+    """
+
+    def __init__(
+        self,
+        velocity_set=None,
+        precision_policy=None,
+        compute_backend=None,
+        indices=None,
+        mesh_vertices=None,
+        voxelization_method=None,
+        profile: Callable = None,
+        prescribed_value: Union[float, Tuple[float, ...], np.ndarray] = None,
+    ):
+        super().__init__(
+            ImplementationStep.STREAMING,
+            velocity_set,
+            precision_policy,
+            compute_backend,
+            indices,
+            mesh_vertices,
+            voxelization_method,
+        )
+        self.needs_padding = True
+        self.profile = profile
+        self.needs_moving_wall_treatment = (profile is not None) or (prescribed_value is not None)
+
+        if prescribed_value is not None:
+            if profile is not None:
+                raise ValueError("specify either profile or prescribed_value, not both")
+            value = np.asarray(prescribed_value, dtype=np.float64)
+            assert value.shape == (self.velocity_set.d,), "wall velocity must have d components"
+            self.profile = lambda: jnp.asarray(value).reshape(-1, 1)
+
+    def __call__(self, f_pre, f_post, bc_mask, missing_mask):
+        vs = self.velocity_set
+        boundary = self.boundary_map_q(bc_mask)
+
+        moving_wall = 0.0
+        if self.needs_moving_wall_treatment:
+            from xlb_tpu.ops.stencil_math import stencil_contract
+
+            u_wall = self.profile().astype(f_post.dtype)
+            w = jnp.asarray(vs._w, dtype=f_post.dtype)
+            cu = w[:, None] * stencil_contract(vs._c.T, u_wall)
+            moving_wall = 6.0 * cu.reshape((-1,) + (1,) * (f_post.ndim - 1))
+
+        reflected = f_pre[vs._opp_indices] + moving_wall
+        return jnp.where(jnp.logical_and(missing_mask, boundary), reflected, f_post)

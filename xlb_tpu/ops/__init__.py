@@ -1,0 +1,24 @@
+from xlb_tpu.ops.stream import Stream
+from xlb_tpu.ops.equilibrium import Equilibrium, QuadraticEquilibrium
+from xlb_tpu.ops.macroscopic import ZeroMoment, FirstMoment, SecondMoment, Macroscopic
+from xlb_tpu.ops.collision import Collision, BGK, KBC, SmagorinskyLESBGK, ForcedCollision
+from xlb_tpu.ops.force import ExactDifference, MomentumTransfer
+from xlb_tpu.ops.precision_caster import PrecisionCaster
+
+__all__ = [
+    "Stream",
+    "Equilibrium",
+    "QuadraticEquilibrium",
+    "ZeroMoment",
+    "FirstMoment",
+    "SecondMoment",
+    "Macroscopic",
+    "Collision",
+    "BGK",
+    "KBC",
+    "SmagorinskyLESBGK",
+    "ForcedCollision",
+    "ExactDifference",
+    "MomentumTransfer",
+    "PrecisionCaster",
+]

@@ -1,0 +1,35 @@
+"""Equilibrium distribution operators.
+
+Second-order (quadratic) Hermite equilibrium, matching the reference
+(xlb/operator/equilibrium/quadratic_equilibrium.py:23-30):
+
+    feq_l = rho * w_l * (1 + cu_l * (1 + cu_l / 2) - 1.5 |u|^2),
+    cu_l  = 3 (c_l . u)
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from xlb_tpu.operator import Operator
+from xlb_tpu.ops.stencil_math import stencil_contract
+
+
+def quadratic_equilibrium(rho, u, c, w, compute_dtype=None):
+    """feq for fields rho (1, *spatial) and u (d, *spatial).
+
+    ``c`` is (d, q) static NumPy, ``w`` is (q,).  Returns (q, *spatial).
+    """
+    dtype = compute_dtype or u.dtype
+    cu = 3.0 * stencil_contract(np.asarray(c).T, u)  # (q, *spatial), exact adds
+    usqr = 1.5 * jnp.sum(jnp.square(u), axis=0, keepdims=True)
+    w = jnp.asarray(w, dtype=dtype).reshape((-1,) + (1,) * (u.ndim - 1))
+    return rho * w * (1.0 + cu * (1.0 + 0.5 * cu) - usqr)
+
+
+class Equilibrium(Operator):
+    """Base class for equilibrium operators (parity with the reference hierarchy)."""
+
+
+class QuadraticEquilibrium(Equilibrium):
+    def __call__(self, rho, u):
+        return quadratic_equilibrium(rho, u, self.velocity_set._c, self.velocity_set._w, self.compute_dtype)
