@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""MLUPS benchmark: 3D lid-driven cavity, D3Q19, BGK.
+
+Protocol parity with the reference harness
+(/root/reference/examples/performance/mlups_3d.py:200-268): cube domain,
+EquilibriumBC lid + FullwayBounceBackBC walls, warmup then timed repetitions,
+MLUPS = cells * steps / seconds / 1e6.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is measured MLUPS / 1000 (the 1 GLUPS/chip north-star target in
+BASELINE.md; the reference publishes no absolute numbers in-tree).
+
+Runs the fused Pallas collide-stream kernel on TPU; on CPU falls back to a
+small domain with the jnp tier so the harness still produces a line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import xlb_tpu as xlb
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.grid import grid_factory
+    from xlb_tpu.models import IncompressibleNavierStokesStepper
+    from xlb_tpu.boundary import EquilibriumBC, FullwayBounceBackBC
+
+    on_accel = jax.default_backend() not in ("cpu",)
+    n = 256 if on_accel else 32
+    iters = 50 if on_accel else 5
+    reps = 3
+
+    xlb.init(
+        velocity_set=D3Q19(),
+        default_backend=xlb.ComputeBackend.JAX,
+        default_precision_policy=xlb.PrecisionPolicy.FP32FP32,
+    )
+    grid = grid_factory((n, n, n))
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1), axis=1
+    )
+    bcs = [
+        FullwayBounceBackBC(indices=walls.tolist()),
+        EquilibriumBC(rho=1.0, u=(0.02, 0.0, 0.0), indices=box_ne["top"]),
+    ]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs, collision_type="BGK")
+    f0, f1, bc_mask, missing_mask = stepper.prepare_fields()
+
+    if on_accel:
+        from xlb_tpu.kernels.fused_step import build_fused_step, pack_masks
+
+        fused = build_fused_step(stepper, tile=(16, 8), interpret=False)
+        step_fn = fused
+    else:
+        step_fn = stepper
+
+    @jax.jit
+    def run_window(f0, f1, bc_mask, missing_mask, omega):
+        def body(i, carry):
+            f0, f1 = carry
+            f0, f1 = step_fn(f0, f1, bc_mask, missing_mask, omega, i)
+            return (f1, f0)
+
+        return jax.lax.fori_loop(0, iters, body, (f0, f1))
+
+    omega = 1.9
+    f0, f1 = run_window(f0, f1, bc_mask, missing_mask, omega)  # compile + warmup
+    float(jnp.sum(f0[0, 0, 0, :8]))  # hard sync (block_until_ready is unreliable through the axon tunnel)
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        f0, f1 = run_window(f0, f1, bc_mask, missing_mask, omega)
+        float(jnp.sum(f0[0, 0, 0, :8]))
+        best = min(best, time.perf_counter() - t0)
+
+    mlups = n**3 * iters / best / 1e6
+    print(
+        json.dumps(
+            {
+                "metric": f"MLUPS lid-driven cavity {n}^3 D3Q19 BGK ({'fused pallas' if on_accel else 'jnp/cpu'})",
+                "value": round(mlups, 1),
+                "unit": "MLUPS",
+                "vs_baseline": round(mlups / 1000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,87 @@
+"""Parity tests: fused Pallas collide-stream kernel vs the pure-jnp tier.
+
+The jnp tier is the correctness oracle (SURVEY.md §7 design delta 1); the
+fused kernel must match it to float32 roundoff.  Runs in Pallas interpreter
+mode on CPU.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import init_env
+from xlb_tpu.velocity_set import D3Q19, D3Q27
+from xlb_tpu.grid import grid_factory
+from xlb_tpu.models import IncompressibleNavierStokesStepper
+from xlb_tpu.boundary import EquilibriumBC, FullwayBounceBackBC, HalfwayBounceBackBC, DoNothingBC
+from xlb_tpu.kernels.fused_step import build_fused_step, pack_masks
+
+
+def _cavity(vs_cls, n=16, collision="BGK", halfway=False):
+    grid = grid_factory((n, n, n), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1), axis=1
+    )
+    wall_cls = HalfwayBounceBackBC if halfway else FullwayBounceBackBC
+    bcs = [wall_cls(indices=walls.tolist()), EquilibriumBC(rho=1.0, u=(0.03, 0.0, 0.0), indices=box_ne["top"])]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs, collision_type=collision)
+    return stepper
+
+
+@pytest.mark.parametrize("collision", ["BGK", "KBC", "SmagorinskyLESBGK"])
+def test_fused_matches_reference_step(collision):
+    vs = init_env(D3Q27 if collision == "KBC" else D3Q19)
+    stepper = _cavity(D3Q27 if collision == "KBC" else D3Q19, collision=collision)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True)
+
+    fa, fb = f0, f1
+    ga, gb = f0, f1
+    for t in range(3):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+        ga, gb = fused(ga, gb, bm, mm, 1.5, t)
+        ga, gb = gb, ga
+    diff = float(jnp.abs(fa - ga).max())
+    assert diff < 5e-6, f"{collision}: fused kernel diverges from jnp tier by {diff}"
+
+
+def test_fused_halfway_and_do_nothing():
+    vs = init_env(D3Q19)
+    stepper = _cavity(D3Q19, halfway=True)
+    # add an outlet face with DoNothing
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True)
+    fa, fb = f0, f1
+    ga, gb = f0, f1
+    for t in range(3):
+        fa, fb = stepper(fa, fb, bm, mm, 1.7, t)
+        fa, fb = fb, fa
+        ga, gb = fused(ga, gb, bm, mm, 1.7, t)
+        ga, gb = gb, ga
+    assert float(jnp.abs(fa - ga).max()) < 5e-6
+
+
+def test_pack_masks_roundtrip():
+    vs = init_env(D3Q19)
+    rng = np.random.default_rng(0)
+    miss = rng.random((vs.q, 4, 4, 8)) > 0.7
+    bc = (rng.integers(0, 4, (1, 4, 4, 8))).astype(np.uint8)
+    bc_i32, miss_i32 = pack_masks(jnp.asarray(bc), jnp.asarray(miss))
+    np.testing.assert_array_equal(np.asarray(bc_i32), bc[0].astype(np.int32))
+    unpacked = np.stack([(np.asarray(miss_i32) >> l) & 1 for l in range(vs.q)]).astype(bool)
+    np.testing.assert_array_equal(unpacked, miss)
+
+
+def test_fused_rejects_unsupported_bc():
+    vs = init_env(D3Q19)
+    from xlb_tpu.boundary import ZouHeBC
+
+    grid = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    box = grid.bounding_box_indices()
+    bc = ZouHeBC("velocity", prescribed_value=(0.01, 0.0, 0.0), indices=box["left"])
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=[bc])
+    with pytest.raises(NotImplementedError):
+        build_fused_step(stepper, interpret=True)

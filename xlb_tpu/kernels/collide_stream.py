@@ -1,0 +1,332 @@
+"""Fused pull-stream + boundary + collide Pallas TPU kernel.
+
+This is the performance tier of the framework -- the TPU-native analogue of
+the reference's fused per-voxel Warp kernel (nse_stepper.py:427-466), which
+performs the whole LBM timestep in one pass over HBM:
+
+    read f_0 neighborhood -> pull-stream -> streaming BCs -> moments ->
+    equilibrium -> collide -> collision BCs -> write f_1
+
+Design (3D):
+
+- Populations are laid out ``(q, X, Y, Z)``; the kernel grid tiles (X, Y)
+  and keeps Z fully resident, so z-direction pulls are in-register lane
+  rolls (``pltpu.roll``) with periodic wrap for free.
+- x/y pulls need one-deep halos.  Pallas block mappings cannot overlap, so
+  the same f_0 array is passed nine times with different BlockSpecs: the
+  (TX, TY, Z) center tile, four one-deep edge slabs, and four corner pencils,
+  each indexed with modular arithmetic for periodicity.  HBM read overhead is
+  ~(1 + 2/TX + 2/TY) of the minimum.
+- The kernel assembles a (q, TX+2, TY+2, Z) halo tile in VMEM scratch; each
+  direction's pull is then a static slice plus a lane roll.
+- ``bc_mask`` and ``missing_mask`` are pre-packed into two int32 voxel fields
+  (id and direction-bitfield) by the stepper, cutting mask traffic from
+  q+1 bytes to 8 bytes per voxel.
+- The BC list is unrolled at trace time (the Pallas analogue of the
+  reference's ``wp.static`` BC unrolling, nse_stepper.py:366-380); each BC
+  becomes a masked select epilogue.
+
+Periodicity across shards: on a multi-chip mesh the wrapper in
+``xlb_tpu.parallel`` exchanges one-deep x-halos over ICI with ``ppermute``
+and calls the ``halo_x`` variant of this kernel, whose input carries an
+extra layer on each x side instead of wrapping.
+"""
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _roll_lane(x, shift):
+    """Periodic roll along the last (lane) axis; shift in {-1, 0, 1}."""
+    if shift == 0:
+        return x
+    # pltpu.roll requires a non-negative shift; normalize modulo lane extent
+    return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
+
+
+def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY, smagorinsky_coef=0.17):
+    """Returns the Pallas kernel body closure for a DdQq 3D fused step."""
+    q, d = vs.q, vs.d
+    c = vs._c  # (3, q) static
+    w = vs._w
+    opp = vs._opp_indices
+    cdt = compute_dtype
+
+    def moments(f_s):
+        rho = f_s[0]
+        for l in range(1, q):
+            rho = rho + f_s[l]
+        inv_rho = 1.0 / rho
+        mom = []
+        for a in range(d):
+            acc = None
+            for l in range(q):
+                ca = c[a, l]
+                if ca == 0:
+                    continue
+                t = f_s[l] if ca == 1 else -f_s[l]
+                acc = t if acc is None else acc + t
+            mom.append(acc * inv_rho)
+        return rho, mom
+
+    def equilibrium(rho, u):
+        usqr = u[0] * u[0]
+        for a in range(1, d):
+            usqr = usqr + u[a] * u[a]
+        usqr = 1.5 * usqr
+        feq = []
+        for l in range(q):
+            cu = None
+            for a in range(d):
+                ca = c[a, l]
+                if ca == 0:
+                    continue
+                t = u[a] if ca == 1 else -u[a]
+                cu = t if cu is None else cu + t
+            if cu is None:
+                feq.append(rho * cdt(w[l]) * (1.0 - usqr))
+            else:
+                cu = 3.0 * cu
+                feq.append(rho * cdt(w[l]) * (1.0 + cu * (1.0 + 0.5 * cu) - usqr))
+        return feq
+
+    def second_moment(fneq):
+        """Packed upper-triangular Pi = sum cc_l fneq_l as a list."""
+        cc = vs._cc  # (q, nt)
+        nt = cc.shape[1]
+        pis = []
+        for t in range(nt):
+            acc = None
+            for l in range(q):
+                coef = cc[l, t]
+                if coef == 0:
+                    continue
+                term = fneq[l] if coef == 1 else (-fneq[l] if coef == -1 else fneq[l] * cdt(coef))
+                acc = term if acc is None else acc + term
+            pis.append(acc if acc is not None else jnp.zeros_like(fneq[0]))
+        return pis
+
+    def collide(f_s, feq, omega):
+        if collision == "BGK":
+            return [f_s[l] - omega * (f_s[l] - feq[l]) for l in range(q)]
+        if collision == "SmagorinskyLESBGK":
+            fneq = [f_s[l] - feq[l] for l in range(q)]
+            pi = second_moment(fneq)
+            if d == 3:
+                diag, offd = (0, 3, 5), (1, 2, 4)
+            else:
+                diag, offd = (0, 2), (1,)
+            strain = sum(pi[t] * pi[t] for t in diag) + 2.0 * sum(pi[t] * pi[t] for t in offd)
+            tau0 = 1.0 / omega
+            cs = cdt(smagorinsky_coef)
+            tau = 0.5 * (tau0 + jnp.sqrt(tau0 * tau0 + 36.0 * cs * cs * jnp.sqrt(strain)))
+            om = 1.0 / tau
+            return [f_s[l] - om * fneq[l] for l in range(q)]
+        if collision == "KBC":
+            fneq = [f_s[l] - feq[l] for l in range(q)]
+            pi = second_moment(fneq)
+            zeros = jnp.zeros_like(fneq[0])
+            ds = [zeros] * q
+            if d == 3:  # D3Q27 shear decomposition (reference kbc.py:96-145)
+                nxz = pi[0] - pi[5]
+                nyz = pi[3] - pi[5]
+                ds[9] = ds[18] = (2.0 * nxz - nyz) / 6.0
+                ds[3] = ds[6] = (-nxz + 2.0 * nyz) / 6.0
+                ds[1] = ds[2] = (-nxz - nyz) / 6.0
+                ds[12] = ds[24] = pi[1] / 4.0
+                ds[21] = ds[15] = -pi[1] / 4.0
+                ds[10] = ds[20] = pi[2] / 4.0
+                ds[19] = ds[11] = -pi[2] / 4.0
+                ds[8] = ds[4] = pi[4] / 4.0
+                ds[7] = ds[5] = -pi[4] / 4.0
+            else:  # D2Q9 (reference kbc.py:147-174), delta_s = shear / 4
+                n = pi[0] - pi[2]
+                ds[3] = ds[6] = n / 4.0
+                ds[2] = ds[1] = -n / 4.0
+                ds[8] = ds[7] = pi[1] / 4.0
+                ds[4] = ds[5] = -pi[1] / 4.0
+            beta = 0.5 * omega
+            inv_beta = 1.0 / beta
+            dh = [fneq[l] - ds[l] for l in range(q)]
+            sp1 = None
+            sp2 = None
+            for l in range(q):
+                tmp = dh[l] / feq[l]
+                t1 = tmp * ds[l]
+                t2 = tmp * dh[l]
+                sp1 = t1 if sp1 is None else sp1 + t1
+                sp2 = t2 if sp2 is None else sp2 + t2
+            gamma = inv_beta - (2.0 - inv_beta) * sp1 / (cdt(1e-32) + sp2)
+            return [f_s[l] - beta * (2.0 * ds[l] + gamma * dh[l]) for l in range(q)]
+        raise ValueError(f"unsupported collision {collision!r} in fused kernel")
+
+    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, bc_ref, miss_ref, out, ext):
+        omega = cdt(omega_ref[0, 0])
+
+        # ---- assemble halo tile in VMEM scratch: (q, TX+2, TY+2, Z) -------
+        # Mosaic requires the last two dims of every block to be (8,128)-
+        # divisible or full, so one-deep y-strips cannot be fetched directly:
+        # y-halos and corners arrive as full-height neighbor blocks and the
+        # single needed row is sliced here.
+        ext[:, 1 : TX + 1, 1 : TY + 1, :] = center[...].astype(cdt)
+        ext[:, 0:1, 1 : TY + 1, :] = xlo[...].astype(cdt)
+        ext[:, TX + 1 : TX + 2, 1 : TY + 1, :] = xhi[...].astype(cdt)
+        ext[:, 1 : TX + 1, 0:1, :] = ylo[:, :, TY - 1 : TY, :].astype(cdt)
+        ext[:, 1 : TX + 1, TY + 1 : TY + 2, :] = yhi[:, :, 0:1, :].astype(cdt)
+        ext[:, 0:1, 0:1, :] = c00[:, :, TY - 1 : TY, :].astype(cdt)
+        ext[:, 0:1, TY + 1 : TY + 2, :] = c01[:, :, 0:1, :].astype(cdt)
+        ext[:, TX + 1 : TX + 2, 0:1, :] = c10[:, :, TY - 1 : TY, :].astype(cdt)
+        ext[:, TX + 1 : TX + 2, TY + 1 : TY + 2, :] = c11[:, :, 0:1, :].astype(cdt)
+
+        # ---- pull streaming: static slice + lane roll per direction ------
+        f_s = []
+        for l in range(q):
+            cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
+            tile = ext[l, 1 - cx : 1 - cx + TX, 1 - cy : 1 - cy + TY, :]
+            f_s.append(_roll_lane(tile, cz))
+        f_pre = [ext[l, 1 : TX + 1, 1 : TY + 1, :] for l in range(q)]
+
+        bc = bc_ref[...]
+        miss = miss_ref[...]
+
+        def missing(l):
+            return jax.lax.bitwise_and(jax.lax.shift_right_logical(miss, l), 1) == 1
+
+        # ---- streaming-step BCs (trace-time unrolled) ---------------------
+        for spec in bc_specs:
+            if spec["step"] != "streaming":
+                continue
+            on = bc == spec["id"]
+            kind = spec["kind"]
+            if kind == "equilibrium":
+                feq_p = spec["feq"]  # static (q,) numpy
+                f_s = [jnp.where(on, cdt(feq_p[l]), f_s[l]) for l in range(q)]
+            elif kind == "do_nothing":
+                f_s = [jnp.where(on, f_pre[l], f_s[l]) for l in range(q)]
+            elif kind == "halfway":
+                mw = spec.get("mw")
+                for l in range(q):
+                    refl = f_pre[opp[l]] if mw is None else f_pre[opp[l]] + cdt(mw[l])
+                    f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
+            else:
+                raise ValueError(f"BC kind {kind!r} not supported in fused kernel")
+
+        # ---- moments + equilibrium + collision ----------------------------
+        rho, u = moments(f_s)
+        feq = equilibrium(rho, u)
+        f_out = collide(f_s, feq, omega)
+
+        # ---- collision-step BCs -------------------------------------------
+        for spec in bc_specs:
+            if spec["step"] != "collision":
+                continue
+            on = bc == spec["id"]
+            if spec["kind"] == "fullway":
+                f_out = [jnp.where(on, f_s[opp[l]], f_out[l]) for l in range(q)]
+            else:
+                raise ValueError(f"BC kind {spec['kind']!r} not supported in fused kernel")
+
+        # solid voxels keep their previous populations (reference solid
+        # early-out, nse_stepper.py:440-441); also kills NaNs from rho=0
+        solid = bc == 255
+        for l in range(q):
+            out[l] = jnp.where(solid, f_pre[l], f_out[l]).astype(store_dtype)
+
+    return kernel
+
+
+def build_fused_collide_stream_3d(
+    velocity_set,
+    shape,
+    collision="BGK",
+    bc_specs=(),
+    compute_dtype=jnp.float32,
+    store_dtype=jnp.float32,
+    tile=(8, 8),
+    interpret=False,
+    halo_x=False,
+):
+    """Build the fused 3D step: (f, bc_i32, miss_i32, omega) -> f_new.
+
+    ``shape`` is the local (X, Y, Z) extent.  With ``halo_x=True`` the f
+    input must carry one extra x-layer on each side (X+2) holding neighbor
+    data (supplied by the ICI halo exchange); x-pulls then read those layers
+    instead of wrapping periodically.
+    """
+    X, Y, Z = shape
+    TX, TY = tile
+    q = velocity_set.q
+    assert X % TX == 0 and Y % TY == 0, f"tile {tile} must divide domain {shape[:2]}"
+    nX, nY = X // TX, Y // TY
+    kernel = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY)
+
+    fX = X + 2 if halo_x else X  # physical x-extent of the f input array
+
+    def fmap(dx_blocks, dy_blocks, bx, by):
+        """Index map factory for f blocks offset by whole blocks."""
+
+        def index_map(i, j):
+            # block indices in units of this spec's block shape (bx, by)
+            if halo_x:
+                # x element offset: 1 + i*TX - (1 if left halo) ... expressed
+                # in block units below per-spec; no modulo needed.
+                return (0, dx_blocks(i), dy_blocks(j), 0)
+            return (0, jax.lax.rem(dx_blocks(i) + fX // bx, fX // bx), jax.lax.rem(dy_blocks(j) + Y // by, Y // by), 0)
+
+        return index_map
+
+    # --- f BlockSpecs ------------------------------------------------------
+    if halo_x:
+        # element offsets: center starts at 1 + i*TX; left edge at i*TX;
+        # right edge at 1 + (i+1)*TX.  With block x-extent 1 the block index
+        # equals the element index; with extent TX it must be divisible -- so
+        # express center via index_map returning element/TX only when aligned.
+        # Simplest: give the center spec block shape (q, TX, TY, Z) but use an
+        # unblocked x via per-element maps is not possible, so we require the
+        # halo'd array to be laid out as [left | interior | right] and pass
+        # interior as its own array instead.
+        raise NotImplementedError("halo_x variant is provided by build_fused_collide_stream_3d_halo")
+
+    specs_f = [
+        pl.BlockSpec((q, TX, TY, Z), fmap(lambda i: i, lambda j: j, TX, TY)),  # center
+        pl.BlockSpec((q, 1, TY, Z), fmap(lambda i: i * TX - 1, lambda j: j, 1, TY)),  # x-lo
+        pl.BlockSpec((q, 1, TY, Z), fmap(lambda i: (i + 1) * TX, lambda j: j, 1, TY)),  # x-hi
+        # y-halos/corners: full-height neighbor blocks (Mosaic forbids 1-deep
+        # sublane strips); the kernel slices the single row it needs.
+        pl.BlockSpec((q, TX, TY, Z), fmap(lambda i: i, lambda j: j - 1, TX, TY)),  # y-lo block
+        pl.BlockSpec((q, TX, TY, Z), fmap(lambda i: i, lambda j: j + 1, TX, TY)),  # y-hi block
+        pl.BlockSpec((q, 1, TY, Z), fmap(lambda i: i * TX - 1, lambda j: j - 1, 1, TY)),  # c00 strip
+        pl.BlockSpec((q, 1, TY, Z), fmap(lambda i: i * TX - 1, lambda j: j + 1, 1, TY)),  # c01 strip
+        pl.BlockSpec((q, 1, TY, Z), fmap(lambda i: (i + 1) * TX, lambda j: j - 1, 1, TY)),  # c10 strip
+        pl.BlockSpec((q, 1, TY, Z), fmap(lambda i: (i + 1) * TX, lambda j: j + 1, 1, TY)),  # c11 strip
+    ]
+    spec_mask = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0))
+    out_spec = pl.BlockSpec((q, TX, TY, Z), lambda i, j: (0, i, j, 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nX, nY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs_f + [spec_mask, spec_mask],
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((q, TX + 2, TY + 2, Z), compute_dtype)],
+    )
+
+    fused = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, X, Y, Z), store_dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def step(f, bc_i32, miss_i32, omega):
+        omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        return fused(omega_arr, f, f, f, f, f, f, f, f, f, bc_i32, miss_i32)
+
+    return step

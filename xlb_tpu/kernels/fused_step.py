@@ -1,0 +1,89 @@
+"""Glue between the NSE stepper and the fused Pallas collide-stream kernel.
+
+Translates BC objects into static kernel epilogue specs, pre-packs the
+boolean ``missing_mask`` into an int32 direction bitfield (q <= 27 bits) and
+``bc_mask`` into an int32 id field, and builds the fused step callable.
+
+BCs currently supported in-kernel: EquilibriumBC, DoNothingBC,
+FullwayBounceBackBC, HalfwayBounceBackBC (incl. constant moving wall) --
+the set exercised by the MLUPS benchmark protocol
+(reference examples/performance/mlups_3d.py:200-268) and the cavity
+examples.  Steppers with other BCs raise and should use the JAX tier.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xlb_tpu.boundary.base import ImplementationStep
+from xlb_tpu.boundary.bc_equilibrium import EquilibriumBC
+from xlb_tpu.boundary.bc_do_nothing import DoNothingBC
+from xlb_tpu.boundary.bc_bounce_back import FullwayBounceBackBC, HalfwayBounceBackBC
+from xlb_tpu.kernels.collide_stream import build_fused_collide_stream_3d
+
+
+def bc_to_spec(bc, velocity_set):
+    """Convert a BC object into a static spec dict for the kernel epilogue."""
+    vs = velocity_set
+    step = "streaming" if bc.implementation_step == ImplementationStep.STREAMING else "collision"
+    if isinstance(bc, EquilibriumBC):
+        feq = np.asarray(bc._prescribed_feq(0, jnp.float32)).reshape(-1)
+        return {"kind": "equilibrium", "id": bc.id, "step": step, "feq": feq}
+    if isinstance(bc, DoNothingBC):
+        return {"kind": "do_nothing", "id": bc.id, "step": step}
+    if isinstance(bc, FullwayBounceBackBC):
+        return {"kind": "fullway", "id": bc.id, "step": step}
+    if isinstance(bc, HalfwayBounceBackBC):
+        spec = {"kind": "halfway", "id": bc.id, "step": step, "mw": None}
+        if bc.needs_moving_wall_treatment:
+            u_wall = np.asarray(bc.profile()).reshape(-1)
+            cu = vs._c.T.astype(np.float64) @ u_wall
+            spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
+        return spec
+    raise NotImplementedError(
+        f"{type(bc).__name__} is not yet supported by the fused Pallas kernel; "
+        "use ComputeBackend.JAX for this configuration"
+    )
+
+
+def pack_masks(bc_mask, missing_mask):
+    """(bc_mask uint8 (1,*s), missing bool (q,*s)) -> (int32 (*s), int32 (*s))."""
+    q = missing_mask.shape[0]
+    weights = jnp.asarray([1 << l for l in range(q)], dtype=jnp.int32).reshape((q,) + (1,) * (missing_mask.ndim - 1))
+    miss_i32 = jnp.sum(missing_mask.astype(jnp.int32) * weights, axis=0)
+    return bc_mask[0].astype(jnp.int32), miss_i32
+
+
+def build_fused_step(stepper, tile=(16, 8), interpret=None):
+    """Build the PALLAS-tier step for an IncompressibleNavierStokesStepper.
+
+    Returns a callable with the standard stepper signature
+    (f_0, f_1, bc_mask, missing_mask, omega, timestep) -> (f_0, f_1).
+    """
+    vs = stepper.velocity_set
+    if vs.d != 3:
+        raise NotImplementedError("fused Pallas kernel currently supports 3D lattices; use the JAX tier for 2D")
+    shape = stepper.grid.shape
+    bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    collision = stepper.collision_type
+    pp = stepper.precision_policy
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    fused = build_fused_collide_stream_3d(
+        vs,
+        shape,
+        collision=collision,
+        bc_specs=bc_specs,
+        compute_dtype=pp.compute_dtype,
+        store_dtype=pp.store_dtype,
+        tile=tile,
+        interpret=interpret,
+    )
+
+    def step(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
+        bc_i32, miss_i32 = pack_masks(bc_mask, missing_mask)
+        return f_0, fused(f_0, bc_i32, miss_i32, omega)
+
+    return step
