@@ -1,0 +1,106 @@
+"""MLUPS benchmark CLI (reference examples/performance/mlups_3d.py:18-120).
+
+3D lid-driven cavity; sweeps backend tier (jax / pallas), velocity set,
+collision model, and cube size; reports MLUPS with warmup + repetitions.
+"""
+
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[2]))  # allow running as a script
+
+
+import argparse
+import time
+
+import numpy as np
+
+
+def benchmark(cube_edge, num_steps, backend_tier, velocity_set_name, collision, precision, warmup, reps, tile):
+    import jax
+    import jax.numpy as jnp
+
+    import xlb_tpu as xlb
+    from xlb_tpu import velocity_set as vsets
+    from xlb_tpu.grid import grid_factory
+    from xlb_tpu.models import IncompressibleNavierStokesStepper
+    from xlb_tpu.boundary import EquilibriumBC, FullwayBounceBackBC
+
+    xlb.init(
+        velocity_set=getattr(vsets, velocity_set_name)(),
+        default_backend=xlb.ComputeBackend.JAX,
+        default_precision_policy=xlb.PrecisionPolicy[precision],
+    )
+    n = cube_edge
+    grid = grid_factory((n, n, n))
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1), axis=1
+    )
+    bcs = [
+        FullwayBounceBackBC(indices=walls.tolist()),
+        EquilibriumBC(rho=1.0, u=(0.02, 0.0, 0.0), indices=box_ne["top"]),
+    ]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs, collision_type=collision)
+    f0, f1, bc_mask, missing_mask = stepper.prepare_fields()
+
+    if backend_tier == "pallas":
+        from xlb_tpu.kernels.fused_step import build_fused_step
+
+        step_fn = build_fused_step(stepper, tile=tile, interpret=jax.default_backend() == "cpu")
+    else:
+        step_fn = stepper
+
+    @jax.jit
+    def window(f0, f1, bc_mask, missing_mask, omega):
+        def body(i, carry):
+            a, b = carry
+            a, b = step_fn(a, b, bc_mask, missing_mask, omega, i)
+            return (b, a)
+
+        return jax.lax.fori_loop(0, num_steps, body, (f0, f1))
+
+    omega = 1.9
+    f0, f1 = window(f0, f1, bc_mask, missing_mask, omega)
+    float(jnp.sum(f0[0, 0, 0, :8]))  # sync
+    for _ in range(max(0, warmup - 1)):
+        f0, f1 = window(f0, f1, bc_mask, missing_mask, omega)
+    float(jnp.sum(f0[0, 0, 0, :8]))
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        f0, f1 = window(f0, f1, bc_mask, missing_mask, omega)
+        float(jnp.sum(f0[0, 0, 0, :8]))
+        best = min(best, time.perf_counter() - t0)
+
+    mlups = n**3 * num_steps / best / 1e6
+    print(
+        f"{velocity_set_name} {collision} {precision} tier={backend_tier} {n}^3: "
+        f"{mlups:.1f} MLUPS ({best / num_steps * 1e3:.3f} ms/step, {reps} reps)"
+    )
+    return mlups
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser(description="3D lid-driven cavity MLUPS benchmark")
+    p.add_argument("cube_edge", type=int, nargs="?", default=256)
+    p.add_argument("num_steps", type=int, nargs="?", default=50)
+    p.add_argument("--backend", choices=["jax", "pallas"], default="pallas")
+    p.add_argument("--velocity-set", choices=["D3Q19", "D3Q27"], default="D3Q19")
+    p.add_argument("--collision", choices=["BGK", "KBC", "SmagorinskyLESBGK"], default="BGK")
+    p.add_argument("--precision", default="FP32FP32")
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--tile", type=int, nargs=2, default=(16, 8))
+    args = p.parse_args()
+    benchmark(
+        args.cube_edge,
+        args.num_steps,
+        args.backend,
+        args.velocity_set,
+        args.collision,
+        args.precision,
+        args.warmup,
+        args.reps,
+        tuple(args.tile),
+    )

@@ -80,7 +80,7 @@ class HalfwayBounceBackBC(BoundaryCondition):
                 raise ValueError("specify either profile or prescribed_value, not both")
             value = np.asarray(prescribed_value, dtype=np.float64)
             assert value.shape == (self.velocity_set.d,), "wall velocity must have d components"
-            self.profile = lambda: jnp.asarray(value).reshape(-1, 1)
+            self.profile = lambda: value.reshape(-1, 1)
 
     def __call__(self, f_pre, f_post, bc_mask, missing_mask):
         vs = self.velocity_set
@@ -88,12 +88,10 @@ class HalfwayBounceBackBC(BoundaryCondition):
 
         moving_wall = 0.0
         if self.needs_moving_wall_treatment:
-            from xlb_tpu.ops.stencil_math import stencil_contract
-
-            u_wall = self.profile().astype(f_post.dtype)
-            w = jnp.asarray(vs._w, dtype=f_post.dtype)
-            cu = w[:, None] * stencil_contract(vs._c.T, u_wall)
-            moving_wall = 6.0 * cu.reshape((-1,) + (1,) * (f_post.ndim - 1))
+            # host-side constant: 6 w_l (c_l . u_wall)
+            u_wall = np.asarray(self.profile(), dtype=np.float64)
+            cu = vs._w[:, None] * (vs._c.T.astype(np.float64) @ u_wall)
+            moving_wall = (6.0 * cu).reshape((-1,) + (1,) * (f_post.ndim - 1)).astype(np.dtype(f_post.dtype))
 
         reflected = f_pre[vs._opp_indices] + moving_wall
         return jnp.where(jnp.logical_and(missing_mask, boundary), reflected, f_post)

@@ -5,10 +5,11 @@ populations at tagged voxels are replaced with feq(rho_prescribed,
 u_prescribed).  Common inlet/outlet condition.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from xlb_tpu.boundary.base import BoundaryCondition, ImplementationStep
-from xlb_tpu.ops.equilibrium import quadratic_equilibrium
+from xlb_tpu.ops.equilibrium import quadratic_equilibrium_np
 
 
 class EquilibriumBC(BoundaryCondition):
@@ -39,14 +40,13 @@ class EquilibriumBC(BoundaryCondition):
         self.equilibrium_operator = equilibrium_operator  # accepted for parity; quadratic by default
 
     def _prescribed_feq(self, spatial_ndim, dtype):
+        # computed in NumPy: the prescribed feq must be a host constant
         vs = self.velocity_set
-        rho = jnp.array([self.rho], dtype=dtype)
-        u = jnp.array(self.u, dtype=dtype)
         if self.equilibrium_operator is not None:
-            feq = self.equilibrium_operator(rho, u)
+            feq = np.asarray(self.equilibrium_operator(jnp.array([self.rho]), jnp.array(self.u)))
         else:
-            feq = quadratic_equilibrium(rho, u, vs._c, vs._w, dtype)
-        return feq.reshape((vs.q,) + (1,) * spatial_ndim)
+            feq = quadratic_equilibrium_np(np.array([self.rho]), np.array(self.u), vs._c, vs._w)
+        return feq.reshape((vs.q,) + (1,) * spatial_ndim).astype(np.dtype(dtype))
 
     def __call__(self, f_pre, f_post, bc_mask, missing_mask):
         feq = self._prescribed_feq(f_post.ndim - 1, f_post.dtype)

@@ -61,7 +61,7 @@ class ExtrapolationOutflowBC(BoundaryCondition):
     def assemble_auxiliary_data(self, f_pre, f_post, bc_mask, missing_mask):
         """Stage extrapolated populations into outgoing slots post-collision
         (f_pre = post-stream state, f_post = post-collision state)."""
-        sound_speed = 1.0 / jnp.sqrt(3.0)
+        sound_speed = float(1.0 / np.sqrt(3.0))
         boundary = self.boundary_map_q(bc_mask)
         neighbour = self._roll(boundary, -self.normal)
 

@@ -20,7 +20,9 @@ class RegularizedBC(ZouHeBC):
         fneq = fpop - feq
         pi_neq = momentum_flux(fneq, vs._cc, fpop.dtype)
         qipi = stencil_contract(vs._qi, pi_neq)
-        w = jnp.asarray(vs._w, dtype=fpop.dtype).reshape((-1,) + (1,) * (fpop.ndim - 1))
+        import numpy as np
+
+        w = vs._w.astype(np.dtype(fpop.dtype)).reshape((-1,) + (1,) * (fpop.ndim - 1))
         return feq + 4.5 * w * qipi
 
     def __call__(self, f_pre, f_post, bc_mask, missing_mask):

@@ -22,14 +22,20 @@ from xlb_tpu.ops.equilibrium import quadratic_equilibrium
 def _broadcast_prescribed(values, target_shape):
     """Broadcast (k,) / (k, 1) / (k, *spatial-slab) prescribed values to
     ``target_shape`` by inserting singleton dims after the leading axis
-    (reference bc_zouhe.py:179-216)."""
-    values = jnp.asarray(values)
+    (reference bc_zouhe.py:179-216).
+
+    Stays in NumPy: prescribed values are host constants, and eager device
+    ops at trace time would force device fetches during lowering.
+    """
+    values = np.asarray(values)
     if values.ndim == 0:
         values = values.reshape((1,) * len(target_shape))
     elif values.ndim < len(target_shape):
         missing = len(target_shape) - values.ndim
         values = values.reshape((values.shape[0],) + (1,) * missing + values.shape[1:])
-    return jnp.broadcast_to(values, target_shape)
+    # broadcast only the leading (component) axis; spatial axes stay size-1
+    # and broadcast lazily inside the traced arithmetic
+    return values
 
 
 class ZouHeBC(BoundaryCondition):
@@ -67,11 +73,11 @@ class ZouHeBC(BoundaryCondition):
                 assert value.ndim == 1, "velocity prescribed_value must be a d-vector"
             else:
                 value = np.asarray(float(prescribed_value), dtype=np.float64).reshape(1)
-            self.profile = lambda: jnp.asarray(value).reshape(-1, 1)
+            self.profile = lambda: value.reshape(-1, 1)
 
         if self.profile is None:
             raise ValueError("ZouHeBC requires a prescribed_value or a profile")
-        self.prescribed_values = self.profile()
+        self.prescribed_values = np.asarray(self.profile())
 
     # -- geometric helpers (reference bc_zouhe.py:166-177) ----------------
     def _known_middle_masks(self, missing_mask):
@@ -95,13 +101,15 @@ class ZouHeBC(BoundaryCondition):
 
         d = self.velocity_set.d
         if self.bc_type == "velocity":
-            vel = _broadcast_prescribed(self.prescribed_values, (d,) + fpop.shape[1:]).astype(fpop.dtype)
+            vel = _broadcast_prescribed(self.prescribed_values, (d,) + fpop.shape[1:]).astype(np.dtype(fpop.dtype))
             unormal = jnp.sum(normals * vel, axis=0, keepdims=True)
             rho = fsum / (1.0 + unormal)
+            vel = vel + jnp.zeros_like(fsum)  # broadcast to full spatial shape lazily
         else:
-            rho = _broadcast_prescribed(self.prescribed_values, (1,) + fpop.shape[1:]).astype(fpop.dtype)
+            rho = _broadcast_prescribed(self.prescribed_values, (1,) + fpop.shape[1:]).astype(np.dtype(fpop.dtype))
             unormal = -1.0 + fsum / rho
             vel = unormal * normals
+            rho = rho + jnp.zeros_like(fsum)
         return rho, vel
 
     def calculate_equilibrium(self, f_post, missing_mask):

@@ -1,0 +1,16 @@
+from xlb_tpu.geometry.stl import load_stl, save_stl, transform_mesh, rotation_matrix, sphere_triangles
+from xlb_tpu.geometry.voxelize import MeshVoxelizationMethod, voxelize, winding_number, solid_voxel_indices
+from xlb_tpu.geometry.mesh_masker import assign_mesh_indices
+
+__all__ = [
+    "load_stl",
+    "save_stl",
+    "transform_mesh",
+    "rotation_matrix",
+    "sphere_triangles",
+    "MeshVoxelizationMethod",
+    "voxelize",
+    "winding_number",
+    "solid_voxel_indices",
+    "assign_mesh_indices",
+]

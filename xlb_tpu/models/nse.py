@@ -199,13 +199,21 @@ class IncompressibleNavierStokesStepper(Stepper):
 
     def build_multi_step(self, num_steps, donate=True):
         """A jitted ``num_steps``-step advance using ``lax.fori_loop`` --
-        one dispatch for the whole window (used by the benchmark harness)."""
+        ONE dispatch for the whole window.
+
+        Always prefer this over per-step Python dispatch for the hot loop:
+        a single device round trip per window instead of per step.  The
+        returned callable has signature
+        ``(f_0, f_1, bc_mask, missing_mask, omega, start_step=0)`` and
+        returns the post-window ``(f_0, f_1)`` in standard orientation
+        (f_0 = current state).
+        """
 
         @partial(jax.jit, static_argnames=(), donate_argnums=(0, 1) if donate else ())
-        def _run(f_0, f_1, bc_mask, missing_mask, omega):
+        def _run(f_0, f_1, bc_mask, missing_mask, omega, start_step=0):
             def body(i, carry):
                 f_0, f_1 = carry
-                f_0, f_1 = self(f_0, f_1, bc_mask, missing_mask, omega, i)
+                f_0, f_1 = self(f_0, f_1, bc_mask, missing_mask, omega, start_step + i)
                 return (f_1, f_0)
 
             f_0, f_1 = jax.lax.fori_loop(0, num_steps, body, (f_0, f_1))

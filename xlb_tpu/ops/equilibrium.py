@@ -21,8 +21,24 @@ def quadratic_equilibrium(rho, u, c, w, compute_dtype=None):
     """
     dtype = compute_dtype or u.dtype
     cu = 3.0 * stencil_contract(np.asarray(c).T, u)  # (q, *spatial), exact adds
-    usqr = 1.5 * jnp.sum(jnp.square(u), axis=0, keepdims=True)
-    w = jnp.asarray(w, dtype=dtype).reshape((-1,) + (1,) * (u.ndim - 1))
+    usqr = 1.5 * sum(u[a] * u[a] for a in range(u.shape[0]))[None]
+    # host constant: numpy weights are lifted into the program at lowering
+    # time without a device round trip
+    w = np.asarray(w, dtype=np.dtype(dtype)).reshape((-1,) + (1,) * (u.ndim - 1))
+    return rho * w * (1.0 + cu * (1.0 + 0.5 * cu) - usqr)
+
+
+def quadratic_equilibrium_np(rho, u, c, w):
+    """NumPy twin of :func:`quadratic_equilibrium` for host-side setup code
+    (BC prescribed values must be host constants -- embedding device arrays
+    as XLA constants forces a device fetch at lowering time)."""
+    rho = np.asarray(rho, dtype=np.float64)
+    u = np.asarray(u, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    w = np.asarray(w, dtype=np.float64)
+    cu = 3.0 * np.tensordot(c, u, axes=(0, 0))
+    usqr = 1.5 * np.sum(u**2, axis=0, keepdims=True)
+    w = w.reshape((-1,) + (1,) * (u.ndim - 1))
     return rho * w * (1.0 + cu * (1.0 + 0.5 * cu) - usqr)
 
 
