@@ -1,0 +1,82 @@
+"""IBM stepper tests: spreading/interpolation identities and no-slip
+enforcement on an immersed sphere."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import init_env
+from xlb_tpu.velocity_set import D3Q19
+from xlb_tpu.grid import grid_factory
+from xlb_tpu.models.ibm import IBMStepper, peskin_weight, spread_to_grid, interpolate_from_grid
+from xlb_tpu.helper.ibm_helper import prepare_immersed_boundary
+from xlb_tpu.geometry import sphere_triangles
+from xlb_tpu.ops import Macroscopic
+
+
+def test_peskin_weight_properties():
+    # unit integral (partition of unity on the integer lattice)
+    r = np.arange(-3, 4, dtype=np.float64)
+    for shift in (0.0, 0.25, 0.5, 0.77):
+        w = np.asarray(peskin_weight(jnp.asarray(r + shift)))
+        np.testing.assert_allclose(w.sum(), 1.0, atol=1e-6)
+    assert float(peskin_weight(jnp.asarray(2.5))) == 0.0
+
+
+def test_interpolate_linear_field_exact():
+    """Peskin interpolation of a constant field is exact."""
+    vs = init_env(D3Q19)
+    shape = (16, 16, 16)
+    field = np.full((np.prod(shape), 3), 0.37, dtype=np.float32)
+    pts = jnp.asarray(np.array([[5.2, 7.7, 8.1], [3.0, 3.5, 9.9]], dtype=np.float32))
+    out = np.asarray(interpolate_from_grid(jnp.asarray(field), pts, shape))
+    np.testing.assert_allclose(out, 0.37, rtol=1e-5)
+
+
+def test_spread_conserves_total():
+    """sum_i spread_num[i] = sum_k A_k F_k (delta has unit integral)."""
+    vs = init_env(D3Q19)
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(4.0 + 8.0 * rng.random((20, 3)).astype(np.float32))
+    vals = jnp.asarray(rng.standard_normal((20, 3)).astype(np.float32))
+    areas = jnp.asarray(rng.random(20).astype(np.float32))
+    num, den = spread_to_grid(vals, pts, areas, shape)
+    np.testing.assert_allclose(np.asarray(num).sum(axis=0), np.asarray(vals * areas[:, None]).sum(axis=0), rtol=1e-4)
+
+
+def test_ibm_enforces_no_slip_on_sphere():
+    """Uniform flow past an IBM sphere: velocity at the markers approaches
+    zero after the forcing loop."""
+    vs = init_env(D3Q19)
+    n = 32
+    grid = grid_factory((n, n, n))
+    tris = sphere_triangles(center=(n / 2, n / 2, n / 2), radius=5.0, subdivisions=2)
+    vertices, areas, velocities = prepare_immersed_boundary(tris, max_lagrangian_spacing=0.8)
+
+    stepper = IBMStepper(grid, ibm_max_iterations=4)
+    f_0, f_1, bc_mask, missing_mask = stepper.prepare_fields()
+
+    # uniform initial flow
+    from xlb_tpu.helper.initializers import initialize_from_macroscopic
+
+    u0 = np.zeros((3, n, n, n), dtype=np.float32)
+    u0[0] = 0.03
+    rho0 = np.ones((1, n, n, n), dtype=np.float32)
+    f_0 = initialize_from_macroscopic(grid, vs, stepper.precision_policy, rho0, u0)
+
+    v = jnp.asarray(vertices)
+    a = jnp.asarray(areas)
+    uw = jnp.asarray(velocities)
+    for t in range(5):
+        f_0, f_1, forces = stepper(f_0, f_1, v, a, uw, bc_mask, missing_mask, 1.0, t)
+        f_0, f_1 = f_1, f_0
+
+    _, u = Macroscopic()(f_0)
+    u_flat = jnp.asarray(np.asarray(u).reshape(3, -1).T)
+    u_at_markers = np.asarray(interpolate_from_grid(u_flat, v, (n, n, n)))
+    speed_at_markers = np.linalg.norm(u_at_markers, axis=1)
+    # no-slip enforced to a few % of the free-stream speed
+    assert speed_at_markers.mean() < 0.2 * 0.03, f"mean marker speed {speed_at_markers.mean():.2e}"
+    # far field keeps flowing
+    assert np.asarray(u)[0, 2, 2, 2] > 0.02
