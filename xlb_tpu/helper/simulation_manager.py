@@ -1,0 +1,50 @@
+"""Multi-resolution simulation lifecycle manager.
+
+API parity with reference xlb/helper/simulation_manager.py:16-245: owns the
+per-level fields, precomputes per-level omegas via acoustic scaling, exposes
+``step()`` (one coarsest-level step) and ``export_macroscopic``.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xlb_tpu.models.multires import MultiresIncompressibleNavierStokesStepper, compute_omega
+from xlb_tpu.ops.macroscopic import Macroscopic
+
+
+class MultiresSimulationManager:
+    def __init__(self, grid, omega_finest, boundary_conditions=None, collision_type="BGK", initializer=None):
+        self.grid = grid
+        self.omega = float(omega_finest)
+        self.stepper = MultiresIncompressibleNavierStokesStepper(
+            grid, boundary_conditions=boundary_conditions, collision_type=collision_type
+        )
+        self.f_0, self.f_1, self.bc_mask, self.missing_mask = self.stepper.prepare_fields()
+        if initializer is not None:
+            self.f_0 = initializer(self.f_0)
+        self.iteration_idx = 0
+        self._jitted = jax.jit(lambda fs: self.stepper(fs, self.bc_mask, self.missing_mask, self.omega))
+
+    def compute_omega(self, omega_finest, level):
+        return compute_omega(omega_finest, level)
+
+    def step(self):
+        """Advance one coarsest-level timestep (2^(L-1) finest steps)."""
+        self.f_0 = self._jitted(self.f_0)
+        self.iteration_idx += 1
+        return self.f_0
+
+    def run(self, num_coarse_steps):
+        for _ in range(num_coarse_steps):
+            self.step()
+        return self.f_0
+
+    def export_macroscopic(self):
+        """Per-level (rho, u) as NumPy arrays, finest first."""
+        mac = Macroscopic()
+        out = []
+        for f in self.f_0:
+            rho, u = mac(f.astype(jnp.float32))
+            out.append((np.asarray(rho), np.asarray(u)))
+        return out

@@ -1,0 +1,226 @@
+"""Multi-resolution incompressible Navier-Stokes stepper.
+
+TPU-native counterpart of the reference's Neon-only
+MultiresIncompressibleNavierStokesStepper (nse_multires_stepper.py:102-1193)
+and MultiresSimulationManager (helper/simulation_manager.py:16-245).
+
+Algorithm (collide-then-stream with acoustic scaling; reference
+simulation_manager.py:137-170):
+
+    advance(level L):                       # L counts from finest=0
+        collide(L)
+        explode ghosts of level L-1 from level L post-collision state
+        advance(L-1); advance(L-1)          # two fine sub-steps per coarse
+        coalesce level L-1 -> refined cells of L (2^d child average)
+        stream(L) + BCs
+
+Level coupling on dense arrays:
+
+- *Explosion* (coarse -> fine ghost ring): piecewise-constant upsampling of
+  the coarse post-collision populations into a one-cell ghost ring around
+  the fine box, realized as a precomputed static gather.  Matches the
+  reference's direct coarser-neighbor reads (wp.neon_lbm_read_coarser_ngh,
+  nse_multires_stepper.py:540-582) which are also zeroth-order in space and
+  piecewise-constant in time.
+- *Coalescence* (fine -> coarse): the refined coarse cells take the
+  2^d-child average of the fine populations -- a reshape-mean, the dense
+  equivalent of the reference's accumulate-and-normalize with precomputed
+  per-direction counts (simulation_manager.py:74).
+
+Per-level relaxation follows the reference's acoustic scaling exactly
+(simulation_manager.py:86-105)::
+
+    omega_L = 2^(L+1) * omega_0 / ((2^L - 1) * omega_0 + 2)
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from xlb_tpu.operator import Operator
+from xlb_tpu.ops.stream import stream_pull
+from xlb_tpu.ops.equilibrium import QuadraticEquilibrium
+from xlb_tpu.ops.macroscopic import Macroscopic
+from xlb_tpu.ops.collision import BGK, KBC, SmagorinskyLESBGK
+from xlb_tpu.boundary.base import ImplementationStep
+from xlb_tpu.boundary.maskers import IndicesBoundaryMasker
+from xlb_tpu.helper.initializers import initialize_eq
+
+_COLLISIONS = {"BGK": BGK, "KBC": KBC, "SmagorinskyLESBGK": SmagorinskyLESBGK}
+
+
+def compute_omega(omega_finest, level):
+    """Relaxation rate at ``level`` from the finest-level omega (acoustic
+    scaling; reference simulation_manager.py:86-105)."""
+    w0 = omega_finest
+    return 2.0 ** (level + 1) * w0 / ((2.0**level - 1.0) * w0 + 2.0)
+
+
+class MultiresIncompressibleNavierStokesStepper(Operator):
+    """Dense multi-level LBM stepper.
+
+    Parameters
+    ----------
+    grid : MultiresGrid
+    boundary_conditions : dict level -> list of BCs (or list, applied to the
+        coarsest level only -- where domain walls live).
+    collision_type : str
+    """
+
+    def __init__(
+        self,
+        grid,
+        boundary_conditions=None,
+        collision_type="BGK",
+        velocity_set=None,
+        precision_policy=None,
+        compute_backend=None,
+    ):
+        super().__init__(velocity_set, precision_policy, compute_backend)
+        self.grid = grid
+        self.collision_type = collision_type
+        common = dict(velocity_set=self.velocity_set, precision_policy=self.precision_policy, compute_backend=self.compute_backend)
+        self.collision = _COLLISIONS[collision_type](**common)
+        self.equilibrium = QuadraticEquilibrium(**common)
+        self.macroscopic = Macroscopic(**common)
+
+        if boundary_conditions is None:
+            boundary_conditions = {}
+        if isinstance(boundary_conditions, (list, tuple)):
+            boundary_conditions = {grid.num_levels - 1: list(boundary_conditions)}
+        self.boundary_conditions = {int(k): list(v) for k, v in boundary_conditions.items()}
+
+        self._ghost_gather = [None] * grid.num_levels  # per fine level: indices into parent
+        for l, lvl in enumerate(grid.levels):
+            if lvl.origin_in_parent is not None:
+                self._ghost_gather[l] = self._build_ghost_gather(l)
+
+    # ------------------------------------------------------------------
+    def _build_ghost_gather(self, level):
+        """Static index maps: every cell of the fine level's 1-ghost-extended
+        box -> the parent-level cell containing it."""
+        lvl = self.grid.levels[level]
+        parent_shape = self.grid.levels[level + 1].shape
+        maps = []
+        for d in range(self.grid.dim):
+            fine_coords = np.arange(-1, lvl.shape[d] + 1)  # extended fine indices
+            parent_idx = lvl.origin_in_parent[d] + np.floor((fine_coords + 0.5) / 2.0).astype(np.int64)
+            parent_idx = np.clip(parent_idx, 0, parent_shape[d] - 1)
+            maps.append(parent_idx)
+        return maps
+
+    # ------------------------------------------------------------------
+    def prepare_fields(self):
+        """Per-level (f_0, f_1, bc_mask, missing_mask) lists, finest first."""
+        fs0, fs1, bms, mms = [], [], [], []
+        vs = self.velocity_set
+        for l, lvl in enumerate(self.grid.levels):
+            f0 = lvl.create_field(vs.q, dtype=self.precision_policy.store_precision)
+            bc_mask = lvl.create_field(1, dtype=jnp.uint8)
+            missing = lvl.create_field(vs.q, dtype=jnp.bool_)
+            bcs = self.boundary_conditions.get(l, [])
+            if bcs:
+                masker = IndicesBoundaryMasker(vs, self.precision_policy, self.compute_backend)
+                bc_mask, missing = masker(bcs, bc_mask, missing)
+            feq0 = self.equilibrium(
+                jnp.ones((1,) + lvl.shape, dtype=self.precision_policy.compute_dtype),
+                jnp.zeros((vs.d,) + lvl.shape, dtype=self.precision_policy.compute_dtype),
+            ).astype(self.precision_policy.store_dtype)
+            fs0.append(feq0)
+            fs1.append(feq0)
+            bms.append(bc_mask)
+            mms.append(missing)
+        return fs0, fs1, bms, mms
+
+    # ------------------------------------------------------------------
+    def _collide(self, f, omega):
+        rho, u = self.macroscopic(f)
+        feq = self.equilibrium(rho, u)
+        return self.collision(f, feq, omega)
+
+    def _stream_with_ghosts(self, f_post_collision, ghost_ext, level):
+        """Pull-stream a fine level using a ghost-extended array."""
+        interior = (slice(None),) + (slice(1, -1),) * self.grid.dim
+        ext = ghost_ext.at[interior].set(f_post_collision)
+        streamed = stream_pull(ext, self.velocity_set._c)
+        return streamed[interior]
+
+    def _explode(self, f_coarse, level):
+        """Gather the parent's populations onto the fine level's extended box
+        (piecewise-constant upsampling) as a separable per-axis take."""
+        out = f_coarse
+        for axis, g in enumerate(self._ghost_gather[level]):
+            out = jnp.take(out, jnp.asarray(g), axis=axis + 1)
+        return out
+
+    def _coalesce(self, f_coarse, f_fine, level_fine):
+        """Average 2^d fine children into the refined coarse cells."""
+        lvl = self.grid.levels[level_fine]
+        d = self.grid.dim
+        q = self.velocity_set.q
+        shape = lvl.shape
+        resh = [q]
+        mean_axes = []
+        for a in range(d):
+            resh += [shape[a] // 2, 2]
+            mean_axes.append(2 + 2 * a)
+        avg = f_fine.reshape(resh).mean(axis=tuple(mean_axes))
+        slc = (slice(None),) + tuple(
+            slice(o, o + e) for o, e in zip(lvl.origin_in_parent, lvl.extent_in_parent)
+        )
+        return f_coarse.at[slc].set(avg.astype(f_coarse.dtype))
+
+    def _apply_bcs(self, step, level, f_pre, f_post, bc_mask, missing_mask):
+        for bc in self.boundary_conditions.get(level, []):
+            if bc.implementation_step == step:
+                f_post = bc(f_pre, f_post, bc_mask, missing_mask)
+        return f_post
+
+    # ------------------------------------------------------------------
+    def _advance(self, level, fs, bms, mms, omega_finest):
+        """Advance ``level`` by one of its own timesteps (recursively running
+        2 sub-steps of each finer level).  ``fs`` is the per-level state list
+        (current populations)."""
+        pp = self.precision_policy
+        omega = pp.compute_dtype(compute_omega(omega_finest, level))
+        f = pp.cast_to_compute(fs[level])
+
+        f_pc = self._collide(f, omega)
+        f_pc = self._apply_bcs(ImplementationStep.COLLISION, level, f, f_pc, bms[level], mms[level])
+
+        if level > 0:
+            # two fine sub-steps against this level's post-collision state
+            ghost_ext = self._explode(f_pc, level - 1)
+            fs = self._advance_fine_pair(level - 1, fs, bms, mms, omega_finest, ghost_ext)
+            # pull coalesced fine state into the refined region before streaming
+            f_pc = self._coalesce(f_pc, pp.cast_to_compute(fs[level - 1]), level - 1)
+
+        f_ps = stream_pull(f_pc, self.velocity_set._c)
+        f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
+        fs = list(fs)
+        fs[level] = pp.cast_to_store(f_ps)
+        return fs
+
+    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext):
+        pp = self.precision_policy
+        omega = pp.compute_dtype(compute_omega(omega_finest, level))
+        for _ in range(2):
+            f = pp.cast_to_compute(fs[level])
+            f_pc = self._collide(f, omega)
+            f_pc = self._apply_bcs(ImplementationStep.COLLISION, level, f, f_pc, bms[level], mms[level])
+            if level > 0:
+                child_ghost = self._explode(f_pc, level - 1)
+                fs = self._advance_fine_pair(level - 1, fs, bms, mms, omega_finest, child_ghost)
+                f_pc = self._coalesce(f_pc, pp.cast_to_compute(fs[level - 1]), level - 1)
+            f_ps = self._stream_with_ghosts(f_pc, ghost_ext, level)
+            f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
+            fs = list(fs)
+            fs[level] = pp.cast_to_store(f_ps)
+        return fs
+
+    def __call__(self, fs, bms, mms, omega_finest):
+        """One coarsest-level timestep (= 2^(L-1) finest steps).  Returns the
+        updated per-level population list."""
+        return self._advance(self.grid.num_levels - 1, list(fs), bms, mms, omega_finest)
