@@ -1,0 +1,62 @@
+"""Smoke matrix: every example runs tiny on the CPU mesh and reports
+physical output (the counterpart of reference tests/install/
+flow_past_sphere_3d_test.py:1-60)."""
+
+import numpy as np
+import pytest
+
+import importlib.util
+import pathlib
+import sys
+
+EXAMPLES = pathlib.Path(__file__).resolve().parents[1] / "examples"
+
+
+def _load(relpath):
+    path = EXAMPLES / relpath
+    spec = importlib.util.spec_from_file_location(path.stem, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[path.stem] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(autouse=True)
+def _reset():
+    from xlb_tpu.default_config import DefaultConfig
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    DefaultConfig.reset()
+    boundary_condition_registry.reset()
+
+
+def test_lid_driven_cavity_2d():
+    u = _load("cfd/lid_driven_cavity_2d.py").run(n=32, num_steps=100)
+    assert np.isfinite(u).all() and np.abs(u).max() <= 0.06
+
+
+def test_flow_past_sphere_3d():
+    u = _load("cfd/flow_past_sphere_3d.py").run(nx=32, nyz=16, num_steps=60)
+    assert np.isfinite(u).all()
+
+
+def test_windtunnel_3d():
+    drags = _load("cfd/windtunnel_3d.py").run(nx=32, nyz=16, num_steps=60, print_every=30)
+    assert len(drags) == 2 and all(np.isfinite(d) for d in drags)
+
+
+def test_turbulent_channel_3d():
+    profile = _load("cfd/turbulent_channel_3d.py").run(nx=16, ny=8, nz=16, num_steps=60)
+    assert np.isfinite(profile).all()
+    # wall-adjacent slower than centerline
+    assert profile[len(profile) // 2] > profile[0]
+
+
+def test_taylor_green_vortex_3d():
+    ke, expected = _load("cfd/taylor_green_vortex_3d.py").run(n=16, num_steps=50)
+    assert 0.5 < ke / expected < 2.0
+
+
+def test_rotating_sphere_3d():
+    asym = _load("cfd/rotating_sphere_3d.py").run(nx=32, nyz=16, num_steps=60)
+    assert np.isfinite(asym)
