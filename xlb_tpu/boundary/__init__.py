@@ -6,6 +6,7 @@ from xlb_tpu.boundary.bc_bounce_back import FullwayBounceBackBC, HalfwayBounceBa
 from xlb_tpu.boundary.bc_zouhe import ZouHeBC
 from xlb_tpu.boundary.bc_regularized import RegularizedBC
 from xlb_tpu.boundary.bc_extrapolation_outflow import ExtrapolationOutflowBC
+from xlb_tpu.boundary.bc_hybrid import HybridBC
 from xlb_tpu.boundary.maskers import IndicesBoundaryMasker
 
 __all__ = [
@@ -20,5 +21,6 @@ __all__ = [
     "ZouHeBC",
     "RegularizedBC",
     "ExtrapolationOutflowBC",
+    "HybridBC",
     "IndicesBoundaryMasker",
 ]

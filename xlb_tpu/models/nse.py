@@ -121,6 +121,8 @@ class IncompressibleNavierStokesStepper(Stepper):
             from xlb_tpu.geometry.mesh_masker import assign_mesh_indices
 
             assign_mesh_indices(bc, self.grid)
+            if bc.needs_mesh_distance:
+                bc.compute_mesh_distances()
             bc_with_indices.append(bc)
 
         if bc_with_indices:
