@@ -30,12 +30,13 @@ def _cavity(vs_cls, n=16, collision="BGK", halfway=False):
     return stepper
 
 
+@pytest.mark.parametrize("kernel", ["blocked", "dma"])
 @pytest.mark.parametrize("collision", ["BGK", "KBC", "SmagorinskyLESBGK"])
-def test_fused_matches_reference_step(collision):
+def test_fused_matches_reference_step(collision, kernel):
     vs = init_env(D3Q27 if collision == "KBC" else D3Q19)
     stepper = _cavity(D3Q27 if collision == "KBC" else D3Q19, collision=collision)
     f0, f1, bm, mm = stepper.prepare_fields()
-    fused = build_fused_step(stepper, tile=(8, 8), interpret=True)
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True, kernel=kernel)
 
     fa, fb = f0, f1
     ga, gb = f0, f1

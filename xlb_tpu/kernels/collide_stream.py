@@ -166,34 +166,16 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
             return [f_s[l] - beta * (2.0 * ds[l] + gamma * dh[l]) for l in range(q)]
         raise ValueError(f"unsupported collision {collision!r} in fused kernel")
 
-    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, bc_ref, miss_ref, out, ext):
-        omega = cdt(omega_ref[0, 0])
-
-        # ---- assemble halo tile in VMEM scratch: (q, TX+2, TY+2, Z) -------
-        # Mosaic requires the last two dims of every block to be (8,128)-
-        # divisible or full, so one-deep y-strips cannot be fetched directly:
-        # y-halos and corners arrive as full-height neighbor blocks and the
-        # single needed row is sliced here.
-        ext[:, 1 : TX + 1, 1 : TY + 1, :] = center[...].astype(cdt)
-        ext[:, 0:1, 1 : TY + 1, :] = xlo[...].astype(cdt)
-        ext[:, TX + 1 : TX + 2, 1 : TY + 1, :] = xhi[...].astype(cdt)
-        ext[:, 1 : TX + 1, 0:1, :] = ylo[:, :, TY - 1 : TY, :].astype(cdt)
-        ext[:, 1 : TX + 1, TY + 1 : TY + 2, :] = yhi[:, :, 0:1, :].astype(cdt)
-        ext[:, 0:1, 0:1, :] = c00[:, :, TY - 1 : TY, :].astype(cdt)
-        ext[:, 0:1, TY + 1 : TY + 2, :] = c01[:, :, 0:1, :].astype(cdt)
-        ext[:, TX + 1 : TX + 2, 0:1, :] = c10[:, :, TY - 1 : TY, :].astype(cdt)
-        ext[:, TX + 1 : TX + 2, TY + 1 : TY + 2, :] = c11[:, :, 0:1, :].astype(cdt)
-
+    def compute_from_ext(read_ext, bc, miss, out, omega):
+        """Shared physics body: ``read_ext(l, x0, y0)`` must return the
+        (TX, TY, Z) slab of direction l at halo-tile offset (x0, y0)
+        (0 = pulled from -1 side, 1 = centered, 2 = pulled from +1 side)."""
         # ---- pull streaming: static slice + lane roll per direction ------
         f_s = []
         for l in range(q):
             cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
-            tile = ext[l, 1 - cx : 1 - cx + TX, 1 - cy : 1 - cy + TY, :]
-            f_s.append(_roll_lane(tile, cz))
-        f_pre = [ext[l, 1 : TX + 1, 1 : TY + 1, :] for l in range(q)]
-
-        bc = bc_ref[...]
-        miss = miss_ref[...]
+            f_s.append(_roll_lane(read_ext(l, 1 - cx, 1 - cy), cz))
+        f_pre = [read_ext(l, 1, 1) for l in range(q)]
 
         def missing(l):
             return jax.lax.bitwise_and(jax.lax.shift_right_logical(miss, l), 1) == 1
@@ -238,6 +220,30 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         for l in range(q):
             out[l] = jnp.where(solid, f_pre[l], f_out[l]).astype(store_dtype)
 
+    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, bc_ref, miss_ref, out, ext):
+        omega = cdt(omega_ref[0, 0])
+
+        # ---- assemble halo tile in VMEM scratch: (q, TX+2, TY+2, Z) -------
+        # Mosaic requires the last two dims of every block to be (8,128)-
+        # divisible or full, so one-deep y-strips cannot be fetched directly:
+        # y-halos and corners arrive as full-height neighbor blocks and the
+        # single needed row is sliced here.
+        ext[:, 1 : TX + 1, 1 : TY + 1, :] = center[...].astype(cdt)
+        ext[:, 0:1, 1 : TY + 1, :] = xlo[...].astype(cdt)
+        ext[:, TX + 1 : TX + 2, 1 : TY + 1, :] = xhi[...].astype(cdt)
+        ext[:, 1 : TX + 1, 0:1, :] = ylo[:, :, TY - 1 : TY, :].astype(cdt)
+        ext[:, 1 : TX + 1, TY + 1 : TY + 2, :] = yhi[:, :, 0:1, :].astype(cdt)
+        ext[:, 0:1, 0:1, :] = c00[:, :, TY - 1 : TY, :].astype(cdt)
+        ext[:, 0:1, TY + 1 : TY + 2, :] = c01[:, :, 0:1, :].astype(cdt)
+        ext[:, TX + 1 : TX + 2, 0:1, :] = c10[:, :, TY - 1 : TY, :].astype(cdt)
+        ext[:, TX + 1 : TX + 2, TY + 1 : TY + 2, :] = c11[:, :, 0:1, :].astype(cdt)
+
+        def read_ext(l, x0, y0):
+            return ext[l, x0 : x0 + TX, y0 : y0 + TY, :]
+
+        compute_from_ext(read_ext, bc_ref[...], miss_ref[...], out, omega)
+
+    kernel.compute_from_ext = compute_from_ext
     return kernel
 
 

@@ -54,9 +54,11 @@ def pack_masks(bc_mask, missing_mask):
     return bc_mask[0].astype(jnp.int32), miss_i32
 
 
-def build_fused_step(stepper, tile=(16, 8), interpret=None):
+def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     """Build the PALLAS-tier step for an IncompressibleNavierStokesStepper.
 
+    ``kernel``: "dma" (manual double-buffered halo DMAs, fastest) or
+    "blocked" (block-mapped halo fetches; simpler, more VMEM headroom).
     Returns a callable with the standard stepper signature
     (f_0, f_1, bc_mask, missing_mask, omega, timestep) -> (f_0, f_1).
     """
@@ -71,7 +73,15 @@ def build_fused_step(stepper, tile=(16, 8), interpret=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
-    fused = build_fused_collide_stream_3d(
+    if kernel == "dma":
+        from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
+
+        tile = tile or (8, 16)
+    else:
+        builder = build_fused_collide_stream_3d
+        tile = tile or (16, 8)
+
+    fused = builder(
         vs,
         shape,
         collision=collision,
