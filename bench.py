@@ -55,10 +55,9 @@ def main():
     f0, f1, bc_mask, missing_mask = stepper.prepare_fields()
 
     if on_accel:
-        from xlb_tpu.kernels.fused_step import build_fused_step, pack_masks
+        from xlb_tpu.kernels.fused_step import build_fused_step
 
-        fused = build_fused_step(stepper, tile=(16, 8), interpret=False)
-        step_fn = fused
+        step_fn = build_fused_step(stepper, kernel="dma", tile=(8, 16), interpret=False)
     else:
         step_fn = stepper
 
@@ -86,7 +85,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"MLUPS lid-driven cavity {n}^3 D3Q19 BGK ({'fused pallas' if on_accel else 'jnp/cpu'})",
+                "metric": f"MLUPS lid-driven cavity {n}^3 D3Q19 BGK f32 ({'fused pallas dma' if on_accel else 'jnp/cpu'})",
                 "value": round(mlups, 1),
                 "unit": "MLUPS",
                 "vs_baseline": round(mlups / 1000.0, 3),

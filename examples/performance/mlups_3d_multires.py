@@ -1,0 +1,67 @@
+"""Multires MLUPS benchmark (reference examples/performance/
+mlups_3d_multires.py): per-level weighted lattice updates per second for a
+refined cavity."""
+
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[2]))  # allow running as a script
+
+import argparse
+import time
+
+import numpy as np
+
+import xlb_tpu as xlb
+from xlb_tpu.velocity_set import D3Q19
+from xlb_tpu.grid.multires import MultiresGrid
+from xlb_tpu.helper.simulation_manager import MultiresSimulationManager
+from xlb_tpu.mres_perf_optimization_type import MresPerfOptimizationType
+
+
+def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3):
+    xlb.init(velocity_set=D3Q19(), default_backend=xlb.ComputeBackend.JAX,
+             default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
+
+    n = coarse_edge
+    boxes = []
+    shape = (n, n, n)
+    parent = shape
+    for _ in range(levels - 1):
+        extent = tuple(max(8, int(s * box_frac) // 8 * 8) for s in parent)
+        origin = tuple((s - e) // 2 for s, e in zip(parent, extent))
+        boxes.append((origin, extent))
+        parent = tuple(2 * e for e in extent)
+    grid = MultiresGrid(shape, boxes=boxes)
+
+    sim = MultiresSimulationManager(grid, omega_finest=1.6)
+    sim.step()  # compile
+
+    # per-level weighted updates per coarse step: level l runs 2^(L-1-l)
+    # sub-steps of its own cell count
+    L = grid.num_levels
+    updates_per_coarse = 0
+    for l, lvl in enumerate(grid.levels):
+        cells = int(np.prod(lvl.shape))
+        updates_per_coarse += cells * 2 ** (L - 1 - l)
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(num_coarse_steps):
+            sim.step()
+        # force execution
+        sim.export_macroscopic()
+        best = min(best, time.perf_counter() - t0)
+
+    mlups = updates_per_coarse * num_coarse_steps / best / 1e6
+    print(f"multires {L} levels, coarse {n}^3: {mlups:.1f} MLUPS "
+          f"({updates_per_coarse / 1e6:.2f}M updates/coarse step)")
+    return mlups
+
+
+if __name__ == "__main__":
+    parser = MresPerfOptimizationType.build_arg_parser(argparse.ArgumentParser())
+    parser.add_argument("--coarse-edge", type=int, default=64)
+    parser.add_argument("--levels", type=int, default=2)
+    parser.add_argument("--steps", type=int, default=20)
+    args = parser.parse_args()
+    run(coarse_edge=args.coarse_edge, levels=args.levels, num_coarse_steps=args.steps)

@@ -1,0 +1,38 @@
+"""Multires kernel-fusion strategy enum + CLI helper.
+
+API parity with reference xlb/mres_perf_optimization_type.py:12-83.  The
+strategies select how much of the per-level work is fused; in this dense
+TPU implementation XLA fuses each level's collide+stream automatically, so
+the enum primarily preserves the reference CLI surface (the SFV fast-path
+split is a Neon sparse-grid concern with no dense analogue).
+"""
+
+import argparse
+from enum import Enum
+
+
+class MresPerfOptimizationType(Enum):
+    NAIVE_COLLIDE_STREAM = "naive_collide_stream"
+    FUSION_AT_FINEST = "fusion_at_finest"
+    FUSION_AT_FINEST_SFV = "fusion_at_finest_sfv"
+    FUSION_AT_FINEST_SFV_ALL = "fusion_at_finest_sfv_all"
+
+    @classmethod
+    def from_string(cls, name: str) -> "MresPerfOptimizationType":
+        try:
+            return cls(name.lower())
+        except ValueError:
+            valid = ", ".join(m.value for m in cls)
+            raise ValueError(f"unknown multires optimization {name!r}; choose from: {valid}") from None
+
+    @staticmethod
+    def build_arg_parser(parser: argparse.ArgumentParser = None) -> argparse.ArgumentParser:
+        parser = parser or argparse.ArgumentParser()
+        parser.add_argument(
+            "--mres-perf-optimization",
+            type=str,
+            default=MresPerfOptimizationType.FUSION_AT_FINEST.value,
+            choices=[m.value for m in MresPerfOptimizationType],
+            help="multires kernel-fusion strategy (dense TPU levels fuse automatically; kept for CLI parity)",
+        )
+        return parser
