@@ -171,9 +171,14 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         (TX, TY, Z) slab of direction l at halo-tile offset (x0, y0)
         (0 = pulled from -1 side, 1 = centered, 2 = pulled from +1 side)."""
         # ---- pull streaming: static slice + lane roll per direction ------
+        # 3D: x/y pulls from the halo tile, z via lane roll.
+        # 2D: x pulls from the halo tile, y via lane roll (y is the lane dim).
         f_s = []
         for l in range(q):
-            cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
+            if d == 3:
+                cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
+            else:
+                cx, cy, cz = int(c[0, l]), 0, int(c[1, l])  # y0 stays centered (1)
             f_s.append(_roll_lane(read_ext(l, 1 - cx, 1 - cy), cz))
         f_pre = [read_ext(l, 1, 1) for l in range(q)]
 

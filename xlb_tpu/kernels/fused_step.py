@@ -63,8 +63,6 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     (f_0, f_1, bc_mask, missing_mask, omega, timestep) -> (f_0, f_1).
     """
     vs = stepper.velocity_set
-    if vs.d != 3:
-        raise NotImplementedError("fused Pallas kernel currently supports 3D lattices; use the JAX tier for 2D")
     shape = stepper.grid.shape
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
     collision = stepper.collision_type
@@ -72,6 +70,26 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+
+    if vs.d == 2:
+        from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
+
+        fused2d = build_fused_collide_stream_2d(
+            vs,
+            shape,
+            collision=collision,
+            bc_specs=bc_specs,
+            compute_dtype=pp.compute_dtype,
+            store_dtype=pp.store_dtype,
+            tile_x=(tile[0] if tile else 32),
+            interpret=interpret,
+        )
+
+        def step2d(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
+            bc_i32, miss_i32 = pack_masks(bc_mask, missing_mask)
+            return f_0, fused2d(f_0, bc_i32, miss_i32, omega)
+
+        return step2d
 
     if kernel == "dma":
         from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
