@@ -78,11 +78,44 @@ def test_pack_masks_roundtrip():
 
 def test_fused_rejects_unsupported_bc():
     vs = init_env(D3Q19)
-    from xlb_tpu.boundary import ZouHeBC
+    from xlb_tpu.boundary import ExtrapolationOutflowBC
 
     grid = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
-    box = grid.bounding_box_indices()
-    bc = ZouHeBC("velocity", prescribed_value=(0.01, 0.0, 0.0), indices=box["left"])
+    box = grid.bounding_box_indices(remove_edges=True)
+    bc = ExtrapolationOutflowBC(indices=box["right"])
     stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=[bc])
     with pytest.raises(NotImplementedError):
         build_fused_step(stepper, interpret=True)
+
+
+@pytest.mark.parametrize("bc_cls_name,bc_type", [("ZouHeBC", "velocity"), ("ZouHeBC", "pressure"), ("RegularizedBC", "velocity")])
+def test_fused_zouhe_regularized(bc_cls_name, bc_type):
+    """Zou-He / regularized inlets match the jnp oracle inside the fused kernel."""
+    import jax
+    from xlb_tpu.boundary import ZouHeBC, RegularizedBC, FullwayBounceBackBC, DoNothingBC
+
+    vs = init_env(D3Q19)
+    n = 16
+    grid = grid_factory((n, n, n), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "top", "front", "back")], axis=1), axis=1
+    )
+    bc_cls = {"ZouHeBC": ZouHeBC, "RegularizedBC": RegularizedBC}[bc_cls_name]
+    value = (0.02, 0.0, 0.0) if bc_type == "velocity" else 1.01
+    inlet = bc_cls(bc_type, prescribed_value=value, indices=box_ne["left"])
+    bcs = [FullwayBounceBackBC(indices=walls.tolist()), inlet, DoNothingBC(indices=box_ne["right"])]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True, kernel="blocked")
+
+    fa, fb = f0, f1
+    ga, gb = f0, f1
+    for t in range(4):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+        ga, gb = fused(ga, gb, bm, mm, 1.5, t)
+        ga, gb = gb, ga
+    diff = float(jnp.abs(fa - ga).max())
+    assert diff < 5e-6, f"{bc_cls_name}/{bc_type}: fused diverges by {diff}"

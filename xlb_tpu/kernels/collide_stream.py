@@ -166,6 +166,69 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
             return [f_s[l] - beta * (2.0 * ds[l] + gamma * dh[l]) for l in range(q)]
         raise ValueError(f"unsupported collision {collision!r} in fused kernel")
 
+    def _zouhe_epilogue(spec, on, missing, f_s):
+        """Zou-He / regularized closure (local math only; mirrors
+        boundary/bc_zouhe.py + bc_regularized.py).  ``spec`` carries the
+        static prescribed velocity vector or density."""
+        miss_f = [missing(l).astype(cdt) for l in range(q)]
+        known_f = [miss_f[opp[l]] for l in range(q)]
+        middle_f = [1.0 - jnp.maximum(miss_f[l], known_f[l]) for l in range(q)]
+
+        fsum = None
+        for l in range(q):
+            term = f_s[l] * middle_f[l] + 2.0 * f_s[l] * known_f[l]
+            fsum = term if fsum is None else fsum + term
+
+        # inward normal from missing main directions
+        normals = []
+        for a in range(d):
+            acc = None
+            for l in vs.main_indices:
+                ca = c[a, l]
+                if ca == 0:
+                    continue
+                t = miss_f[l] if ca == 1 else -miss_f[l]
+                acc = t if acc is None else acc + t
+            normals.append(-acc if acc is not None else jnp.zeros_like(fsum))
+
+        if spec["bc_type"] == "velocity":
+            vel_const = spec["value"]  # static (d,) numpy
+            unormal = None
+            for a in range(d):
+                if vel_const[a] == 0.0:
+                    continue
+                t = normals[a] * cdt(vel_const[a])
+                unormal = t if unormal is None else unormal + t
+            if unormal is None:
+                unormal = jnp.zeros_like(fsum)
+            rho = fsum / (1.0 + unormal)
+            u = [jnp.full_like(fsum, cdt(vel_const[a])) for a in range(d)]
+        else:  # pressure
+            rho = jnp.full_like(fsum, cdt(spec["value"]))
+            unormal = -1.0 + fsum / rho
+            u = [unormal * normals[a] for a in range(d)]
+
+        feq = equilibrium(rho, u)
+        f_bd = [jnp.where(missing(l), f_s[opp[l]] + feq[l] - feq[opp[l]], f_s[l]) for l in range(q)]
+
+        if spec["kind"] == "regularized":
+            fneq = [f_bd[l] - feq[l] for l in range(q)]
+            pi = second_moment(fneq)
+            qi = vs._qi  # (q, nt) static
+            out_bd = []
+            for l in range(q):
+                qipi = None
+                for t in range(qi.shape[1]):
+                    coef = qi[l, t]
+                    if coef == 0:
+                        continue
+                    term = pi[t] * cdt(coef)
+                    qipi = term if qipi is None else qipi + term
+                out_bd.append(feq[l] + cdt(4.5 * w[l]) * (qipi if qipi is not None else 0.0))
+            f_bd = out_bd
+
+        return [jnp.where(on, f_bd[l], f_s[l]) for l in range(q)]
+
     def compute_from_ext(read_ext, bc, miss, out, omega):
         """Shared physics body: ``read_ext(l, x0, y0)`` must return the
         (TX, TY, Z) slab of direction l at halo-tile offset (x0, y0)
@@ -201,6 +264,8 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
                 for l in range(q):
                     refl = f_pre[opp[l]] if mw is None else f_pre[opp[l]] + cdt(mw[l])
                     f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
+            elif kind in ("zouhe", "regularized"):
+                f_s = _zouhe_epilogue(spec, on, missing, f_s)
             else:
                 raise ValueError(f"BC kind {kind!r} not supported in fused kernel")
 

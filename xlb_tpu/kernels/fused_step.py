@@ -19,6 +19,8 @@ from xlb_tpu.boundary.base import ImplementationStep
 from xlb_tpu.boundary.bc_equilibrium import EquilibriumBC
 from xlb_tpu.boundary.bc_do_nothing import DoNothingBC
 from xlb_tpu.boundary.bc_bounce_back import FullwayBounceBackBC, HalfwayBounceBackBC
+from xlb_tpu.boundary.bc_zouhe import ZouHeBC
+from xlb_tpu.boundary.bc_regularized import RegularizedBC
 from xlb_tpu.kernels.collide_stream import build_fused_collide_stream_3d
 
 
@@ -40,6 +42,16 @@ def bc_to_spec(bc, velocity_set):
             cu = vs._c.T.astype(np.float64) @ u_wall
             spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
         return spec
+    if isinstance(bc, (ZouHeBC, RegularizedBC)):
+        kind = "regularized" if isinstance(bc, RegularizedBC) else "zouhe"
+        value = np.asarray(bc.prescribed_values, dtype=np.float64).reshape(-1)
+        if bc.bc_type == "velocity":
+            if value.size != vs.d:
+                raise NotImplementedError(f"{kind} BC in the fused kernel requires a constant velocity vector")
+            spec_value = value
+        else:
+            spec_value = float(value[0])
+        return {"kind": kind, "id": bc.id, "step": step, "bc_type": bc.bc_type, "value": spec_value}
     raise NotImplementedError(
         f"{type(bc).__name__} is not yet supported by the fused Pallas kernel; "
         "use ComputeBackend.JAX for this configuration"
