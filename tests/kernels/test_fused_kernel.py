@@ -78,14 +78,49 @@ def test_pack_masks_roundtrip():
 
 def test_fused_rejects_unsupported_bc():
     vs = init_env(D3Q19)
-    from xlb_tpu.boundary import ExtrapolationOutflowBC
+    from xlb_tpu.boundary import HybridBC
+    from xlb_tpu.geometry import sphere_triangles
 
     grid = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
-    box = grid.bounding_box_indices(remove_edges=True)
-    bc = ExtrapolationOutflowBC(indices=box["right"])
+    bc = HybridBC(mesh_vertices=sphere_triangles(center=(8, 8, 8), radius=3, subdivisions=1))
     stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=[bc])
+    stepper.prepare_fields()
     with pytest.raises(NotImplementedError):
         build_fused_step(stepper, interpret=True)
+
+
+def test_fused_extrapolation_outflow():
+    """Channel with equilibrium inlet + extrapolation outflow: fused kernel
+    (incl. post-collision aux staging) matches the jnp oracle."""
+    import jax
+    from xlb_tpu.boundary import ExtrapolationOutflowBC, EquilibriumBC, FullwayBounceBackBC
+
+    vs = init_env(D3Q19)
+    n = 16
+    grid = grid_factory((n, n, n), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "top", "front", "back")], axis=1), axis=1
+    )
+    bcs = [
+        FullwayBounceBackBC(indices=walls.tolist()),
+        EquilibriumBC(rho=1.0, u=(0.03, 0.0, 0.0), indices=box_ne["left"]),
+        ExtrapolationOutflowBC(indices=box_ne["right"]),
+    ]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True, kernel="blocked")
+
+    fa, fb = f0, f1
+    ga, gb = f0, f1
+    for t in range(5):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+        ga, gb = fused(ga, gb, bm, mm, 1.5, t)
+        ga, gb = gb, ga
+    diff = float(jnp.abs(fa - ga).max())
+    assert diff < 5e-6, f"extrapolation outflow fused diverges by {diff}"
 
 
 @pytest.mark.parametrize("bc_cls_name,bc_type", [("ZouHeBC", "velocity"), ("ZouHeBC", "pressure"), ("RegularizedBC", "velocity")])

@@ -266,6 +266,11 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
                     f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
             elif kind in ("zouhe", "regularized"):
                 f_s = _zouhe_epilogue(spec, on, missing, f_s)
+            elif kind == "extrapolation_outflow":
+                # missing dirs take the staged values from the previous
+                # step's outgoing slots (bc_extrapolation_outflow.py:137-147)
+                for l in range(q):
+                    f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), f_pre[opp[l]], f_s[l])
             else:
                 raise ValueError(f"BC kind {kind!r} not supported in fused kernel")
 
@@ -283,6 +288,36 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
                 f_out = [jnp.where(on, f_s[opp[l]], f_out[l]) for l in range(q)]
             else:
                 raise ValueError(f"BC kind {spec['kind']!r} not supported in fused kernel")
+
+        # ---- aux staging epilogues (post-collision) ------------------------
+        # extrapolation outflow stages cs*f_s(neighbor) + (1-cs)*f_s(self)
+        # into the outgoing slots for the next step's streaming phase
+        # (bc_extrapolation_outflow.py:107-133).  The inward neighbor is
+        # in-tile for face voxels as long as TX, TY >= 2.
+        for spec in bc_specs:
+            if spec["kind"] != "extrapolation_outflow":
+                continue
+            on = bc == spec["id"]
+            n = spec["normal"]  # static d-vector (outward)
+            cs_speed = cdt(1.0 / np.sqrt(3.0))
+
+            def shift_by_normal(v):
+                # value at voxel b becomes value at b - n (pull from inward)
+                if d == 3:
+                    nx, ny, nz = int(n[0]), int(n[1]), int(n[2])
+                    if nx:
+                        v = jnp.roll(v, nx, axis=0)
+                    if ny:
+                        v = jnp.roll(v, ny, axis=1)
+                    return _roll_lane(v, nz)
+                nx, nz = int(n[0]), int(n[1])
+                if nx:
+                    v = jnp.roll(v, nx, axis=0)
+                return _roll_lane(v, nz)
+
+            for l in range(q):
+                extrap_opp = cs_speed * shift_by_normal(f_s[opp[l]]) + (1.0 - cs_speed) * f_s[opp[l]]
+                f_out[l] = jnp.where(jnp.logical_and(on, missing(opp[l])), extrap_opp, f_out[l])
 
         # solid voxels keep their previous populations (reference solid
         # early-out, nse_stepper.py:440-441); also kills NaNs from rho=0

@@ -21,6 +21,7 @@ from xlb_tpu.boundary.bc_do_nothing import DoNothingBC
 from xlb_tpu.boundary.bc_bounce_back import FullwayBounceBackBC, HalfwayBounceBackBC
 from xlb_tpu.boundary.bc_zouhe import ZouHeBC
 from xlb_tpu.boundary.bc_regularized import RegularizedBC
+from xlb_tpu.boundary.bc_extrapolation_outflow import ExtrapolationOutflowBC
 from xlb_tpu.kernels.collide_stream import build_fused_collide_stream_3d
 
 
@@ -42,6 +43,8 @@ def bc_to_spec(bc, velocity_set):
             cu = vs._c.T.astype(np.float64) @ u_wall
             spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
         return spec
+    if isinstance(bc, ExtrapolationOutflowBC):
+        return {"kind": "extrapolation_outflow", "id": bc.id, "step": step, "normal": np.asarray(bc.normal, dtype=np.int64)}
     if isinstance(bc, (ZouHeBC, RegularizedBC)):
         kind = "regularized" if isinstance(bc, RegularizedBC) else "zouhe"
         value = np.asarray(bc.prescribed_values, dtype=np.float64).reshape(-1)
