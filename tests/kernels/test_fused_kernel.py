@@ -154,3 +154,27 @@ def test_fused_zouhe_regularized(bc_cls_name, bc_type):
         ga, gb = gb, ga
     diff = float(jnp.abs(fa - ga).max())
     assert diff < 5e-6, f"{bc_cls_name}/{bc_type}: fused diverges by {diff}"
+
+
+def test_fused_step_is_differentiable():
+    """grad through the fused (Pallas) step equals grad through the jnp tier
+    via the custom_vjp pairing."""
+    import jax
+
+    vs = init_env(D3Q19)
+    stepper = _cavity(D3Q19, n=16)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True, kernel="blocked")
+
+    def loss_fused(f, omega):
+        _, out = fused(f, f, bm, mm, omega, 0)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_jnp(f, omega):
+        _, out = stepper(f, f, bm, mm, omega, 0)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1))(f0, jnp.float32(1.5))
+    g_jnp = jax.grad(loss_jnp, argnums=(0, 1))(f0, jnp.float32(1.5))
+    np.testing.assert_allclose(np.asarray(g_fused[0]), np.asarray(g_jnp[0]), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(float(g_fused[1]), float(g_jnp[1]), rtol=1e-4)

@@ -125,8 +125,38 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
         interpret=interpret,
     )
 
-    def step(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
+    # -- differentiability: the fused forward pairs with the jnp tier's VJP
+    # (same math to f32 roundoff, see tests/kernels/test_fused_kernel.py) --
+    # the adjoint of an LBM step is itself an LBM-like sweep, so backward
+    # cost matches one jnp-tier step.
+    def _jnp_step(f_0, bc_mask, missing_mask, omega):
+        _, f_1 = stepper._step_pull(f_0, f_0, bc_mask, missing_mask, omega, 0)
+        return f_1
+
+    @jax.custom_vjp
+    def fused_core(f_0, bc_mask, missing_mask, omega):
         bc_i32, miss_i32 = pack_masks(bc_mask, missing_mask)
-        return f_0, fused(f_0, bc_i32, miss_i32, omega)
+        return fused(f_0, bc_i32, miss_i32, omega)
+
+    def _fwd(f_0, bc_mask, missing_mask, omega):
+        return fused_core(f_0, bc_mask, missing_mask, omega), (f_0, bc_mask, missing_mask, omega)
+
+    def _bwd(res, g):
+        import numpy as _np
+
+        f_0, bc_mask, missing_mask, omega = res
+        _, vjp = jax.vjp(lambda f, om: _jnp_step(f, bc_mask, missing_mask, om), f_0, omega)
+        df, dom = vjp(g)
+
+        def _zero(x):
+            return _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
+
+        return df, _zero(bc_mask), _zero(missing_mask), dom
+
+    fused_core.defvjp(_fwd, _bwd)
+
+    def step(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
+        omega = jnp.asarray(omega, dtype=pp.compute_dtype)
+        return f_0, fused_core(f_0, bc_mask, missing_mask, omega)
 
     return step
