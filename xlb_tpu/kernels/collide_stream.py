@@ -46,7 +46,10 @@ def _roll_lane(x, shift):
     """Periodic roll along the last (lane) axis; shift in {-1, 0, 1}."""
     if shift == 0:
         return x
-    # pltpu.roll requires a non-negative shift; normalize modulo lane extent
+    # pltpu.roll requires a non-negative shift; Mosaic only rotates 32-bit
+    # data, so sub-32-bit compute dtypes round-trip through f32
+    if x.dtype.itemsize < 4:
+        return pltpu.roll(x.astype(jnp.float32), shift % x.shape[-1], axis=x.ndim - 1).astype(x.dtype)
     return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
 
 
