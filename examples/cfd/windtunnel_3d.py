@@ -23,7 +23,7 @@ from xlb_tpu.ops import Macroscopic, MomentumTransfer
 from xlb_tpu.utils import omega_from_reynolds
 
 
-def run(nx=96, nyz=48, re=200.0, u_in=0.04, num_steps=1000, stl=None, print_every=200):
+def run(nx=96, nyz=48, re=200.0, u_in=0.04, num_steps=1000, stl=None, print_every=200, backend="jax"):
     xlb.init(velocity_set=D3Q27(), default_backend=xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, nyz, nyz))
@@ -55,7 +55,24 @@ def run(nx=96, nyz=48, re=200.0, u_in=0.04, num_steps=1000, stl=None, print_ever
     momentum_transfer = MomentumTransfer(bc_object)
     omega = omega_from_reynolds(re, u_in, size)
     window = print_every or num_steps
-    run_window = stepper.build_multi_step(window, donate=False)
+
+    if backend == "pallas":
+        # all BCs in this scene run inside the fused kernel
+        import jax
+        from xlb_tpu.kernels.fused_step import build_fused_step
+
+        fused = build_fused_step(stepper)
+
+        @jax.jit
+        def run_window(f_0, f_1, bc_mask, missing_mask, omega, start=0):
+            def body(t, carry):
+                a, b = carry
+                a, b = fused(a, b, bc_mask, missing_mask, omega, start + t)
+                return (b, a)
+
+            return jax.lax.fori_loop(0, window, body, (f_0, f_1))
+    else:
+        run_window = stepper.build_multi_step(window, donate=False)
 
     drag_history = []
     for start in range(0, num_steps, window):
@@ -80,5 +97,6 @@ if __name__ == "__main__":
     p.add_argument("--nyz", type=int, default=48)
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--stl", type=str, default=None)
+    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
     args = p.parse_args()
-    run(nx=args.nx, nyz=args.nyz, num_steps=args.steps, stl=args.stl)
+    run(nx=args.nx, nyz=args.nyz, num_steps=args.steps, stl=args.stl, backend=args.backend)

@@ -106,6 +106,11 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
 
         return step2d
 
+    if kernel == "dma" and shape[2] % 128 != 0:
+        # Mosaic DMA slices need 128-multiple lane extents; block-mapped
+        # specs accept any full-Z block
+        kernel = "blocked"
+
     if kernel == "dma":
         from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
 
