@@ -60,3 +60,28 @@ def test_taylor_green_vortex_3d():
 def test_rotating_sphere_3d():
     asym = _load("cfd/rotating_sphere_3d.py").run(nx=32, nyz=16, num_steps=60)
     assert np.isfinite(asym)
+
+
+def test_flow_past_cylinder_2d():
+    drags, uy = _load("cfd/flow_past_cylinder_2d.py").run(nx=96, ny=32, re=50.0, num_steps=400, probe_every=200)
+    assert np.isfinite(drags).all() and np.isfinite(uy).all()
+
+
+def test_channel_3d_distributed():
+    mlups = _load("cfd/channel_3d_distributed.py").run(cells_per_device_x=8, ny=16, nz=16, num_steps=30)
+    assert mlups > 0
+
+
+def test_autodiff_lbm():
+    l0, l1 = _load("cfd/autodiff_lbm.py").run(n=16, num_steps=10, iters=10, segment=5)
+    assert l1 < l0
+
+
+def test_multires_flow_past_sphere():
+    u_f, u_c = _load("cfd/multires_flow_past_sphere_3d.py").run(coarse_n=(32, 16, 16), coarse_steps=15)
+    assert np.isfinite(u_f).all() and np.isfinite(u_c).all()
+
+
+def test_ibm_flow_past_sphere():
+    residual = _load("ibm/flow_past_sphere_ibm.py").run(nx=32, nyz=16, num_steps=30)
+    assert residual < 0.01
