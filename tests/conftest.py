@@ -24,12 +24,16 @@ import pytest  # noqa: E402
 
 @pytest.fixture(autouse=True)
 def _reset_global_state():
-    """Each test starts from a clean DefaultConfig and BC registry."""
+    """Each test starts from a clean DefaultConfig, BC registry, and x64
+    setting (FP64 policies flip jax_enable_x64 globally)."""
+    import jax
+
     from xlb_tpu.default_config import DefaultConfig
     from xlb_tpu.boundary.registry import boundary_condition_registry
 
     DefaultConfig.reset()
     boundary_condition_registry.reset()
+    jax.config.update("jax_enable_x64", False)
     yield
 
 
