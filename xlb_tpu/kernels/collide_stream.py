@@ -53,8 +53,15 @@ def _roll_lane(x, shift):
     return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
 
 
-def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY, smagorinsky_coef=0.17):
-    """Returns the Pallas kernel body closure for a DdQq 3D fused step."""
+def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY, smagorinsky_coef=0.17, shifted=False):
+    """Returns the Pallas kernel body closure for a DdQq fused step.
+
+    ``shifted=True`` stores populations in deviation form g_l = f_l - w_l
+    between steps: adding/subtracting the static weight at load/store keeps
+    the full mantissa on the physically-varying part, which makes 16-bit
+    storage accurate for low-Mach flows (classic well-conditioning trick;
+    the reference's Neumaier-compensated sums address the same roundoff).
+    """
     q, d = vs.q, vs.d
     c = vs._c  # (3, q) static
     w = vs._w
@@ -245,8 +252,9 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
                 cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
             else:
                 cx, cy, cz = int(c[0, l]), 0, int(c[1, l])  # y0 stays centered (1)
-            f_s.append(_roll_lane(read_ext(l, 1 - cx, 1 - cy), cz))
-        f_pre = [read_ext(l, 1, 1) for l in range(q)]
+            tile = _roll_lane(read_ext(l, 1 - cx, 1 - cy), cz)
+            f_s.append(tile + cdt(w[l]) if shifted else tile)
+        f_pre = [read_ext(l, 1, 1) + cdt(w[l]) if shifted else read_ext(l, 1, 1) for l in range(q)]
 
         def missing(l):
             return jax.lax.bitwise_and(jax.lax.shift_right_logical(miss, l), 1) == 1
@@ -326,7 +334,10 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         # early-out, nse_stepper.py:440-441); also kills NaNs from rho=0
         solid = bc == 255
         for l in range(q):
-            out[l] = jnp.where(solid, f_pre[l], f_out[l]).astype(store_dtype)
+            result = jnp.where(solid, f_pre[l], f_out[l])
+            if shifted:
+                result = result - cdt(w[l])
+            out[l] = result.astype(store_dtype)
 
     def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, bc_ref, miss_ref, out, ext):
         omega = cdt(omega_ref[0, 0])
@@ -365,6 +376,7 @@ def build_fused_collide_stream_3d(
     tile=(8, 8),
     interpret=False,
     halo_x=False,
+    shifted=False,
 ):
     """Build the fused 3D step: (f, bc_i32, miss_i32, omega) -> f_new.
 
@@ -378,7 +390,7 @@ def build_fused_collide_stream_3d(
     q = velocity_set.q
     assert X % TX == 0 and Y % TY == 0, f"tile {tile} must divide domain {shape[:2]}"
     nX, nY = X // TX, Y // TY
-    kernel = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY)
+    kernel = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted)
 
     fX = X + 2 if halo_x else X  # physical x-extent of the f input array
 

@@ -27,6 +27,7 @@ def build_fused_collide_stream_2d(
     store_dtype=jnp.float32,
     tile_x=32,
     interpret=False,
+    shifted=False,
 ):
     X, Y = shape
     TX = tile_x
@@ -37,7 +38,7 @@ def build_fused_collide_stream_2d(
     r = TX // 8
     nX8 = X // 8
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted)
     compute_from_ext = body.compute_from_ext
     cdt = compute_dtype
 

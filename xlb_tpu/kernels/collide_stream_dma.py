@@ -55,6 +55,7 @@ def build_fused_collide_stream_3d_dma(
     tile=(8, 16),
     interpret=False,
     halo_x=False,
+    shifted=False,
 ):
     """With ``halo_x=True`` the f input carries one extra x-layer per side
     (X+2 total) holding neighbor-shard data from an ICI halo exchange; x
@@ -69,7 +70,7 @@ def build_fused_collide_stream_3d_dma(
     n_tiles = nX * nY
     x_off = 1 if halo_x else 0  # interior starts at x=1 in the halo'd input
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted)
     compute_from_ext = body.compute_from_ext
 
     c = velocity_set._c

@@ -165,3 +165,61 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
         return f_0, fused_core(f_0, bc_mask, missing_mask, omega)
 
     return step
+
+
+def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None):
+    """A jitted ``num_steps``-window of the fused step with optional
+    deviation-form (shifted) storage between steps.
+
+    With ``shifted=True`` (default when the storage dtype is 16-bit), the
+    populations live in HBM as g = f - w for the duration of the window --
+    16-bit storage then resolves the physically-varying deviations instead
+    of quantizing them against the O(1) lattice weights -- and are converted
+    back at the window boundary (two cheap elementwise passes per window).
+
+    Returns ``run(f_0, f_1, bc_mask, missing_mask, omega) -> (f_0, f_1)``
+    in plain (unshifted) storage.
+    """
+    vs = stepper.velocity_set
+    pp = stepper.precision_policy
+    if shifted is None:
+        shifted = jnp.dtype(pp.store_dtype).itemsize < 4
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    shape = stepper.grid.shape
+
+    if vs.d == 2:
+        from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
+
+        fused = build_fused_collide_stream_2d(
+            vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+            compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+            tile_x=(tile[0] if tile else 32), interpret=interpret, shifted=shifted,
+        )
+    else:
+        if kernel == "dma" and shape[2] % 128 != 0:
+            kernel = "blocked"
+        if kernel == "dma":
+            from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
+        else:
+            builder = build_fused_collide_stream_3d
+        fused = builder(
+            vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+            compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+            tile=tile or ((8, 16) if kernel == "dma" else (16, 8)), interpret=interpret, shifted=shifted,
+        )
+
+    w_shift = vs._w.reshape((vs.q,) + (1,) * vs.d).astype(np.dtype(pp.store_dtype))
+
+    @jax.jit
+    def run(f_0, f_1, bc_mask, missing_mask, omega):
+        bc_i32, miss_i32 = pack_masks(bc_mask, missing_mask)
+        omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
+        g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
+        g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, bc_i32, miss_i32, omega_c), g)
+        f_out = (g.astype(pp.compute_dtype) + w_shift).astype(pp.store_dtype) if shifted else g
+        return f_out, f_out
+
+    return run
