@@ -47,3 +47,27 @@ def test_pallas_backend_stepper_matches_jax_tier():
         ga, gb = st_pallas(ga, gb, bm2, mm2, 1.5, t)
         ga, gb = gb, ga
     np.testing.assert_allclose(np.asarray(ga), np.asarray(fa), rtol=1e-6, atol=1e-7)
+
+
+def test_pallas_backend_multi_step_window():
+    """build_multi_step under ComputeBackend.PALLAS routes through the fused
+    window and matches the JAX tier."""
+    vs = init_env(D3Q19)
+    grid = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    st_jax = IncompressibleNavierStokesStepper(grid, boundary_conditions=_scene(grid))
+    f0, f1, bm, mm = st_jax.prepare_fields()
+    run_jax = st_jax.build_multi_step(4, donate=False)
+    fa, _ = run_jax(f0, f1, bm, mm, 1.5)
+
+    from xlb_tpu.default_config import DefaultConfig
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    DefaultConfig.reset()
+    boundary_condition_registry.reset()
+    init_env(D3Q19, backend=xlb.ComputeBackend.PALLAS)
+    grid2 = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    st_p = IncompressibleNavierStokesStepper(grid2, boundary_conditions=_scene(grid2))
+    g0, g1, bm2, mm2 = st_p.prepare_fields()
+    run_p = st_p.build_multi_step(4, donate=False)
+    ga, _ = run_p(g0, g1, bm2, mm2, 1.5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(fa), rtol=1e-5, atol=1e-6)

@@ -211,6 +211,18 @@ class IncompressibleNavierStokesStepper(Stepper):
         (f_0 = current state).
         """
 
+        if self.compute_backend == ComputeBackend.PALLAS:
+            # fused-kernel window; 16-bit storage policies automatically use
+            # deviation-form (shifted) populations between steps
+            from xlb_tpu.kernels.fused_step import build_fused_window
+
+            window = build_fused_window(self, num_steps)
+
+            def _run_fused(f_0, f_1, bc_mask, missing_mask, omega, start_step=0):
+                return window(f_0, f_1, bc_mask, missing_mask, omega)
+
+            return _run_fused
+
         @partial(jax.jit, static_argnames=(), donate_argnums=(0, 1) if donate else ())
         def _run(f_0, f_1, bc_mask, missing_mask, omega, start_step=0):
             def body(i, carry):
