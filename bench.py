@@ -55,20 +55,20 @@ def main():
     f0, f1, bc_mask, missing_mask = stepper.prepare_fields()
 
     if on_accel:
-        from xlb_tpu.kernels.fused_step import build_fused_step
+        from xlb_tpu.kernels.fused_step import build_fused_window
 
-        step_fn = build_fused_step(stepper, kernel="dma", tile=(8, 16), interpret=False)
+        run_window = build_fused_window(stepper, iters, kernel="dma", tile=(8, 16), interpret=False, shifted=False)
     else:
         step_fn = stepper
 
-    @jax.jit
-    def run_window(f0, f1, bc_mask, missing_mask, omega):
-        def body(i, carry):
-            f0, f1 = carry
-            f0, f1 = step_fn(f0, f1, bc_mask, missing_mask, omega, i)
-            return (f1, f0)
+        @jax.jit
+        def run_window(f0, f1, bc_mask, missing_mask, omega):
+            def body(i, carry):
+                f0, f1 = carry
+                f0, f1 = step_fn(f0, f1, bc_mask, missing_mask, omega, i)
+                return (f1, f0)
 
-        return jax.lax.fori_loop(0, iters, body, (f0, f1))
+            return jax.lax.fori_loop(0, iters, body, (f0, f1))
 
     omega = 1.9
     f0, f1 = run_window(f0, f1, bc_mask, missing_mask, omega)  # compile + warmup

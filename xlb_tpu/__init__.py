@@ -24,6 +24,7 @@ from xlb_tpu.default_config import DefaultConfig, init, check_backend_support
 from xlb_tpu.operator import Operator
 from xlb_tpu.grid import Grid, grid_factory
 from xlb_tpu import velocity_set
+from xlb_tpu import ops, boundary, models, parallel, geometry, utils, helper
 
 __version__ = "0.1.0"
 
@@ -42,4 +43,11 @@ __all__ = [
     "Grid",
     "grid_factory",
     "velocity_set",
+    "ops",
+    "boundary",
+    "models",
+    "parallel",
+    "geometry",
+    "utils",
+    "helper",
 ]

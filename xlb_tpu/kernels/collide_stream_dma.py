@@ -68,7 +68,6 @@ def build_fused_collide_stream_3d_dma(
     assert TY % 8 == 0, "TY must be a multiple of the sublane tile (8)"
     nX, nY = X // TX, Y // TY
     n_tiles = nX * nY
-    x_off = 1 if halo_x else 0  # interior starts at x=1 in the halo'd input
 
     body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted)
     compute_from_ext = body.compute_from_ext
