@@ -89,3 +89,28 @@ def test_distribute_stepper_with_post_streaming_bcs():
         f0, f1 = stepper(f0, f1, bm, mm, 1.5, t)
         f0, f1 = f1, f0
     np.testing.assert_allclose(np.asarray(f0), ref, rtol=1e-5, atol=1e-7)
+
+
+def test_distribute_2axis_mesh_matches_single_device():
+    """Sequential per-axis halo patching is exact on a 2-D (4, 2) shard mesh,
+    including diagonal populations crossing shard corners (data reaches the
+    corner in two hops: the x-patch forwards the diagonal shard's value to
+    the y-neighbor, whose y-patch forwards it on)."""
+    vs = init_env(D2Q9)
+    ref = _single_device_reference(vs)
+
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    boundary_condition_registry.reset()
+    grid = grid_factory((32, 32), mesh_shape=(4, 2))
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right")], axis=1), axis=1)
+    bcs = [HalfwayBounceBackBC(indices=walls.tolist()), EquilibriumBC(rho=1.0, u=(0.05, 0.0), indices=box_ne["top"])]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    stepper = distribute(stepper, grid, vs)
+    for t in range(5):
+        f0, f1 = stepper(f0, f1, bm, mm, 1.5, t)
+        f0, f1 = f1, f0
+    np.testing.assert_allclose(np.asarray(f0), ref, rtol=1e-5, atol=1e-7)
