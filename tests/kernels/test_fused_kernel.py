@@ -70,9 +70,15 @@ def test_pack_masks_roundtrip():
     rng = np.random.default_rng(0)
     miss = rng.random((vs.q, 4, 4, 8)) > 0.7
     bc = (rng.integers(0, 4, (1, 4, 4, 8))).astype(np.uint8)
-    bc_i32, miss_i32 = pack_masks(jnp.asarray(bc), jnp.asarray(miss))
-    np.testing.assert_array_equal(np.asarray(bc_i32), bc[0].astype(np.int32))
-    unpacked = np.stack([(np.asarray(miss_i32) >> l) & 1 for l in range(vs.q)]).astype(bool)
+    bc[0, 0, 0, 0] = 255  # solid special -> packed id 31
+    bc[0, 1, 0, 0] = 254  # SFV special -> packed id 30
+    packed = np.asarray(pack_masks(jnp.asarray(bc), jnp.asarray(miss)))
+    bc_ids = (packed >> 27) & 31
+    expected = bc[0].astype(np.int32)
+    expected[expected == 254] = 30
+    expected[expected == 255] = 31
+    np.testing.assert_array_equal(bc_ids, expected)
+    unpacked = np.stack([(packed >> l) & 1 for l in range(vs.q)]).astype(bool)
     np.testing.assert_array_equal(unpacked, miss)
 
 

@@ -42,6 +42,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def kernel_bc_id(bc_id):
+    """Remap a cell-type code to its packed-mask kernel id.
+
+    The packed int32 mask holds the missing-direction bitfield in bits
+    0..q-1 (q <= 27) and a 5-bit BC id in bits 27..31; the uint8 specials
+    254 (SFV) / 255 (solid) map to 30 / 31 so everything fits.
+    """
+    if bc_id == 254:
+        return 30
+    if bc_id == 255:
+        return 31
+    if not 0 <= bc_id < 30:
+        raise ValueError(f"BC id {bc_id} does not fit the packed-mask 5-bit id space (0..29 + specials)")
+    return bc_id
+
+
 def _roll_lane(x, shift):
     """Periodic roll along the last (lane) axis; shift in {-1, 0, 1}."""
     if shift == 0:
@@ -239,10 +255,13 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
 
         return [jnp.where(on, f_bd[l], f_s[l]) for l in range(q)]
 
-    def compute_from_ext(read_ext, bc, miss, out, omega):
+    def compute_from_ext(read_ext, packed, out, omega):
         """Shared physics body: ``read_ext(l, x0, y0)`` must return the
         (TX, TY, Z) slab of direction l at halo-tile offset (x0, y0)
-        (0 = pulled from -1 side, 1 = centered, 2 = pulled from +1 side)."""
+        (0 = pulled from -1 side, 1 = centered, 2 = pulled from +1 side).
+        ``packed`` is the int32 mask (missing bits 0..q-1, bc id bits
+        27..31, see ``pack_masks``)."""
+        bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
         # ---- pull streaming: static slice + lane roll per direction ------
         # 3D: x/y pulls from the halo tile, z via lane roll.
         # 2D: x pulls from the halo tile, y via lane roll (y is the lane dim).
@@ -257,13 +276,13 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         f_pre = [read_ext(l, 1, 1) + cdt(w[l]) if shifted else read_ext(l, 1, 1) for l in range(q)]
 
         def missing(l):
-            return jax.lax.bitwise_and(jax.lax.shift_right_logical(miss, l), 1) == 1
+            return jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, l), 1) == 1
 
         # ---- streaming-step BCs (trace-time unrolled) ---------------------
         for spec in bc_specs:
             if spec["step"] != "streaming":
                 continue
-            on = bc == spec["id"]
+            on = bc == kernel_bc_id(spec["id"])
             kind = spec["kind"]
             if kind == "equilibrium":
                 feq_p = spec["feq"]  # static (q,) numpy
@@ -294,7 +313,7 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         for spec in bc_specs:
             if spec["step"] != "collision":
                 continue
-            on = bc == spec["id"]
+            on = bc == kernel_bc_id(spec["id"])
             if spec["kind"] == "fullway":
                 f_out = [jnp.where(on, f_s[opp[l]], f_out[l]) for l in range(q)]
             else:
@@ -308,7 +327,7 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         for spec in bc_specs:
             if spec["kind"] != "extrapolation_outflow":
                 continue
-            on = bc == spec["id"]
+            on = bc == kernel_bc_id(spec["id"])
             n = spec["normal"]  # static d-vector (outward)
             cs_speed = cdt(1.0 / np.sqrt(3.0))
 
@@ -332,14 +351,14 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
 
         # solid voxels keep their previous populations (reference solid
         # early-out, nse_stepper.py:440-441); also kills NaNs from rho=0
-        solid = bc == 255
+        solid = bc == 31  # packed id of cell-type 255
         for l in range(q):
             result = jnp.where(solid, f_pre[l], f_out[l])
             if shifted:
                 result = result - cdt(w[l])
             out[l] = result.astype(store_dtype)
 
-    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, bc_ref, miss_ref, out, ext):
+    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, mask_ref, out, ext):
         omega = cdt(omega_ref[0, 0])
 
         # ---- assemble halo tile in VMEM scratch: (q, TX+2, TY+2, Z) -------
@@ -360,7 +379,7 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         def read_ext(l, x0, y0):
             return ext[l, x0 : x0 + TX, y0 : y0 + TY, :]
 
-        compute_from_ext(read_ext, bc_ref[...], miss_ref[...], out, omega)
+        compute_from_ext(read_ext, mask_ref[...], out, omega)
 
     kernel.compute_from_ext = compute_from_ext
     return kernel
@@ -378,7 +397,7 @@ def build_fused_collide_stream_3d(
     halo_x=False,
     shifted=False,
 ):
-    """Build the fused 3D step: (f, bc_i32, miss_i32, omega) -> f_new.
+    """Build the fused 3D step: (f, mask_i32, omega) -> f_new.
 
     ``shape`` is the local (X, Y, Z) extent.  With ``halo_x=True`` the f
     input must carry one extra x-layer on each side (X+2) holding neighbor
@@ -438,7 +457,7 @@ def build_fused_collide_stream_3d(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nX, nY),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs_f + [spec_mask, spec_mask],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs_f + [spec_mask],
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((q, TX + 2, TY + 2, Z), compute_dtype)],
     )
@@ -451,8 +470,8 @@ def build_fused_collide_stream_3d(
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(f, bc_i32, miss_i32, omega):
+    def step(f, mask_i32, omega):
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
-        return fused(omega_arr, f, f, f, f, f, f, f, f, f, bc_i32, miss_i32)
+        return fused(omega_arr, f, f, f, f, f, f, f, f, f, mask_i32)
 
     return step

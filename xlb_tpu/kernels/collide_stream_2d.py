@@ -42,7 +42,7 @@ def build_fused_collide_stream_2d(
     compute_from_ext = body.compute_from_ext
     cdt = compute_dtype
 
-    def kernel(omega_ref, center, xlo, xhi, bc_ref, miss_ref, out, ext):
+    def kernel(omega_ref, center, xlo, xhi, mask_ref, out, ext):
         ext[:, 1 : TX + 1, :] = center[...].astype(cdt)
         ext[:, 0:1, :] = xlo[:, 7:8, :].astype(cdt)
         ext[:, TX + 1 : TX + 2, :] = xhi[:, 0:1, :].astype(cdt)
@@ -51,7 +51,7 @@ def build_fused_collide_stream_2d(
             # y0 is always 1 in 2D (y handled by lane rolls)
             return ext[l, x0 : x0 + TX, :]
 
-        compute_from_ext(read_ext, bc_ref[...], miss_ref[...], out, cdt(omega_ref[0, 0]))
+        compute_from_ext(read_ext, mask_ref[...], out, cdt(omega_ref[0, 0]))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -61,7 +61,6 @@ def build_fused_collide_stream_2d(
             pl.BlockSpec((q, TX, Y), lambda i: (0, i, 0)),
             pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem(i * r - 1 + nX8, nX8), 0)),
             pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem((i + 1) * r, nX8), 0)),
-            pl.BlockSpec((TX, Y), lambda i: (i, 0)),
             pl.BlockSpec((TX, Y), lambda i: (i, 0)),
         ],
         out_specs=pl.BlockSpec((q, TX, Y), lambda i: (0, i, 0)),
@@ -76,8 +75,8 @@ def build_fused_collide_stream_2d(
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(f, bc_i32, miss_i32, omega):
+    def step(f, mask_i32, omega):
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
-        return fused(omega_arr, f, f, f, bc_i32, miss_i32)
+        return fused(omega_arr, f, f, f, mask_i32)
 
     return step

@@ -107,7 +107,7 @@ def build_fused_collide_stream_3d_dma(
             pieces.append((cstart, clen, px, py))
     n_dmas = len(pieces)
 
-    def kernel(omega_ref, f_hbm, bc_ref, miss_ref, out, buf, sems):
+    def kernel(omega_ref, f_hbm, mask_ref, out, buf, sems):
         it = pl.program_id(0) * nY + pl.program_id(1)
         slot = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
@@ -163,7 +163,7 @@ def build_fused_collide_stream_3d_dma(
             ys = 7 + y0
             return buf[slot, l, x0 : x0 + TX, ys : ys + TY, :].astype(cdt)
 
-        compute_from_ext(read_ext, bc_ref[...], miss_ref[...], out, cdt(omega_ref[0, 0]))
+        compute_from_ext(read_ext, mask_ref[...], out, cdt(omega_ref[0, 0]))
 
     spec_mask = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -172,7 +172,6 @@ def build_fused_collide_stream_3d_dma(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM, DMA'd manually
-            spec_mask,
             spec_mask,
         ],
         out_specs=pl.BlockSpec((q, TX, TY, Z), lambda i, j: (0, i, j, 0)),
@@ -190,10 +189,10 @@ def build_fused_collide_stream_3d_dma(
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(f, bc_i32, miss_i32, omega):
+    def step(f, mask_i32, omega):
         if halo_x:
             assert f.shape[1] == X + 2, f"halo_x kernel expects x extent {X + 2}, got {f.shape[1]}"
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
-        return fused(omega_arr, f, bc_i32, miss_i32)
+        return fused(omega_arr, f, mask_i32)
 
     return step

@@ -62,11 +62,20 @@ def bc_to_spec(bc, velocity_set):
 
 
 def pack_masks(bc_mask, missing_mask):
-    """(bc_mask uint8 (1,*s), missing bool (q,*s)) -> (int32 (*s), int32 (*s))."""
+    """(bc_mask uint8 (1,*s), missing bool (q,*s)) -> one int32 (*s).
+
+    Bits 0..q-1 hold the missing-direction bitfield (q <= 27); bits 27..31
+    hold the BC id, with cell-type specials 254/255 remapped to 30/31 (see
+    collide_stream.kernel_bc_id).  One array instead of two halves the mask
+    HBM traffic and VMEM footprint of every fused kernel.
+    """
     q = missing_mask.shape[0]
+    assert q <= 27, f"missing bitfield needs q <= 27 bits, got {q}"
     weights = jnp.asarray([1 << l for l in range(q)], dtype=jnp.int32).reshape((q,) + (1,) * (missing_mask.ndim - 1))
     miss_i32 = jnp.sum(missing_mask.astype(jnp.int32) * weights, axis=0)
-    return bc_mask[0].astype(jnp.int32), miss_i32
+    bc = bc_mask[0].astype(jnp.int32)
+    bc = jnp.where(bc == 254, 30, jnp.where(bc == 255, 31, bc))
+    return miss_i32 | (bc << 27)
 
 
 def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
@@ -101,8 +110,8 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
         )
 
         def step2d(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
-            bc_i32, miss_i32 = pack_masks(bc_mask, missing_mask)
-            return f_0, fused2d(f_0, bc_i32, miss_i32, omega)
+            mask_i32 = pack_masks(bc_mask, missing_mask)
+            return f_0, fused2d(f_0, mask_i32, omega)
 
         return step2d
 
@@ -140,8 +149,8 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
 
     @jax.custom_vjp
     def fused_core(f_0, bc_mask, missing_mask, omega):
-        bc_i32, miss_i32 = pack_masks(bc_mask, missing_mask)
-        return fused(f_0, bc_i32, miss_i32, omega)
+        mask_i32 = pack_masks(bc_mask, missing_mask)
+        return fused(f_0, mask_i32, omega)
 
     def _fwd(f_0, bc_mask, missing_mask, omega):
         return fused_core(f_0, bc_mask, missing_mask, omega), (f_0, bc_mask, missing_mask, omega)
@@ -215,10 +224,10 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
 
     @jax.jit
     def run(f_0, f_1, bc_mask, missing_mask, omega):
-        bc_i32, miss_i32 = pack_masks(bc_mask, missing_mask)
+        mask_i32 = pack_masks(bc_mask, missing_mask)
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
         g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
-        g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, bc_i32, miss_i32, omega_c), g)
+        g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c), g)
         f_out = (g.astype(pp.compute_dtype) + w_shift).astype(pp.store_dtype) if shifted else g
         return f_out, f_out
 

@@ -49,13 +49,13 @@ def build_distributed_fused_step(stepper, grid, tile=(8, 16), interpret=None):
     right_perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     left_perm = [((i + 1) % n_shards, i) for i in range(n_shards)]
 
-    def _local(f, bc_i32, miss_i32, omega):
+    def _local(f, mask_i32, omega):
         # one-deep halo exchange over ICI: this shard needs the left
         # neighbor's last layer and the right neighbor's first layer
         from_left = lax.ppermute(f[:, -1:], perm=right_perm, axis_name="x")
         from_right = lax.ppermute(f[:, :1], perm=left_perm, axis_name="x")
         f_ext = jnp.concatenate([from_left, f, from_right], axis=1)
-        return fused(f_ext, bc_i32, miss_i32, omega)
+        return fused(f_ext, mask_i32, omega)
 
     mesh = grid.global_mesh
     fspec = grid.field_spec
@@ -66,15 +66,15 @@ def build_distributed_fused_step(stepper, grid, tile=(8, 16), interpret=None):
     sharded = shard_map(
         _local,
         mesh=mesh,
-        in_specs=(fspec, mask_spec, mask_spec, P()),
+        in_specs=(fspec, mask_spec, P()),
         out_specs=fspec,
         # pallas_call out_shapes carry no varying-mesh-axes info
         check_vma=False,
     )
 
     def step(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
-        bc_i32, miss_i32 = pack_masks(bc_mask, missing_mask)
+        mask_i32 = pack_masks(bc_mask, missing_mask)
         omega_arr = jnp.asarray(omega, dtype=pp.compute_dtype)
-        return f_0, sharded(f_0, bc_i32, miss_i32, omega_arr)
+        return f_0, sharded(f_0, mask_i32, omega_arr)
 
     return step
