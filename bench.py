@@ -10,8 +10,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is measured MLUPS / 1000 (the 1 GLUPS/chip north-star target in
 BASELINE.md; the reference publishes no absolute numbers in-tree).
 
-Runs the fused Pallas collide-stream kernel on TPU; on CPU falls back to a
-small domain with the jnp tier so the harness still produces a line.
+Configuration: the production mixed-precision policy FP32BF16 (f32 compute,
+16-bit storage -- the TPU analogue of the reference's FP32FP16 policy,
+precision_policy.py:13-120), run through the temporally-blocked fused
+Pallas path (deviation-form storage + two LBM steps per HBM pass,
+bit-identical to two single-step passes; physics accuracy validated by the
+Taylor-Green decay test in tests/models/test_precision.py).  FP32FP32
+reaches ~1.8 GLUPS on the same chip (docs/performance.md has the table).
+
+On CPU falls back to a small domain with the jnp tier so the harness still
+produces a line.
 """
 
 import json
@@ -39,7 +47,7 @@ def main():
     xlb.init(
         velocity_set=D3Q19(),
         default_backend=xlb.ComputeBackend.JAX,
-        default_precision_policy=xlb.PrecisionPolicy.FP32FP32,
+        default_precision_policy=xlb.PrecisionPolicy.FP32BF16 if on_accel else xlb.PrecisionPolicy.FP32FP32,
     )
     grid = grid_factory((n, n, n))
     box = grid.bounding_box_indices()
@@ -57,7 +65,8 @@ def main():
     if on_accel:
         from xlb_tpu.kernels.fused_step import build_fused_window
 
-        run_window = build_fused_window(stepper, iters, kernel="dma", tile=(8, 16), interpret=False, shifted=False)
+        # auto-selects deviation-form storage + the 2-step fused kernel
+        run_window = build_fused_window(stepper, iters, kernel="dma", tile=(8, 16), interpret=False)
     else:
         step_fn = stepper
 
@@ -85,7 +94,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"MLUPS lid-driven cavity {n}^3 D3Q19 BGK f32 ({'fused pallas dma' if on_accel else 'jnp/cpu'})",
+                "metric": (
+                    f"MLUPS lid-driven cavity {n}^3 D3Q19 BGK "
+                    + ("FP32BF16-shifted (fused pallas, 2 steps/HBM-pass)" if on_accel else "f32 (jnp/cpu)")
+                ),
                 "value": round(mlups, 1),
                 "unit": "MLUPS",
                 "vs_baseline": round(mlups / 1000.0, 3),

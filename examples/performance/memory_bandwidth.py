@@ -8,9 +8,13 @@ Round-1 findings on the v5e dev chip (256^3 x 19 channels, f32):
                                    copy bound; collision math and BC
                                    epilogues are fully hidden.
 
-Conclusion: the fused kernel is at the Pallas-DMA roofline; the next
-performance step is a >306 GB/s data path (or confirming the cap is an
-artifact of this environment).
+Conclusion: the fused kernel is at the Pallas-DMA roofline.  Round-2
+follow-up (dma_experiments.py): a single whole-array HBM->HBM DMA -- no
+pipelining, no VMEM round trip, no kernel structure -- also caps at ~294
+GB/s, as do 19 concurrent DMAs, manual double/triple buffering, and
+manual output DMA.  The cap is the DMA path itself; the productive road
+past it is LESS traffic (packed masks, 16-bit deviation-form storage,
+and two LBM steps per HBM pass -- see kernels/collide_stream_2step.py).
 """
 
 import sys as _sys, pathlib as _pl

@@ -69,7 +69,7 @@ def _roll_lane(x, shift):
     return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
 
 
-def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY, smagorinsky_coef=0.17, shifted=False):
+def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY, smagorinsky_coef=0.17, shifted=False, has_solids=True):
     """Returns the Pallas kernel body closure for a DdQq fused step.
 
     ``shifted=True`` stores populations in deviation form g_l = f_l - w_l
@@ -273,7 +273,16 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
                 cx, cy, cz = int(c[0, l]), 0, int(c[1, l])  # y0 stays centered (1)
             tile = _roll_lane(read_ext(l, 1 - cx, 1 - cy), cz)
             f_s.append(tile + cdt(w[l]) if shifted else tile)
-        f_pre = [read_ext(l, 1, 1) + cdt(w[l]) if shifted else read_ext(l, 1, 1) for l in range(q)]
+
+        # pre-streaming populations, read lazily: only the channels a BC
+        # epilogue (or the solid keep-out) actually touches cost a slab read
+        fpre_cache = {}
+
+        def f_pre(l):
+            if l not in fpre_cache:
+                v = read_ext(l, 1, 1)
+                fpre_cache[l] = v + cdt(w[l]) if shifted else v
+            return fpre_cache[l]
 
         def missing(l):
             return jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, l), 1) == 1
@@ -288,11 +297,11 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
                 feq_p = spec["feq"]  # static (q,) numpy
                 f_s = [jnp.where(on, cdt(feq_p[l]), f_s[l]) for l in range(q)]
             elif kind == "do_nothing":
-                f_s = [jnp.where(on, f_pre[l], f_s[l]) for l in range(q)]
+                f_s = [jnp.where(on, f_pre(l), f_s[l]) for l in range(q)]
             elif kind == "halfway":
                 mw = spec.get("mw")
                 for l in range(q):
-                    refl = f_pre[opp[l]] if mw is None else f_pre[opp[l]] + cdt(mw[l])
+                    refl = f_pre(opp[l]) if mw is None else f_pre(opp[l]) + cdt(mw[l])
                     f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
             elif kind in ("zouhe", "regularized"):
                 f_s = _zouhe_epilogue(spec, on, missing, f_s)
@@ -300,7 +309,7 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
                 # missing dirs take the staged values from the previous
                 # step's outgoing slots (bc_extrapolation_outflow.py:137-147)
                 for l in range(q):
-                    f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), f_pre[opp[l]], f_s[l])
+                    f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), f_pre(opp[l]), f_s[l])
             else:
                 raise ValueError(f"BC kind {kind!r} not supported in fused kernel")
 
@@ -322,8 +331,11 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         # ---- aux staging epilogues (post-collision) ------------------------
         # extrapolation outflow stages cs*f_s(neighbor) + (1-cs)*f_s(self)
         # into the outgoing slots for the next step's streaming phase
-        # (bc_extrapolation_outflow.py:107-133).  The inward neighbor is
-        # in-tile for face voxels as long as TX, TY >= 2.
+        # (bc_extrapolation_outflow.py:107-133).  The neighbor term
+        # f_s[m](v - n) equals raw[m](v - t) with t = n + c_m; wherever the
+        # staging mask is true, c_m . n = -1, so t is purely tangential and
+        # the read is an ordinary halo-tile pull -- correct even at slab
+        # edges (which the 2-step kernel's first sweep consumes).
         for spec in bc_specs:
             if spec["kind"] != "extrapolation_outflow":
                 continue
@@ -331,29 +343,29 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
             n = spec["normal"]  # static d-vector (outward)
             cs_speed = cdt(1.0 / np.sqrt(3.0))
 
-            def shift_by_normal(v):
-                # value at voxel b becomes value at b - n (pull from inward)
-                if d == 3:
-                    nx, ny, nz = int(n[0]), int(n[1]), int(n[2])
-                    if nx:
-                        v = jnp.roll(v, nx, axis=0)
-                    if ny:
-                        v = jnp.roll(v, ny, axis=1)
-                    return _roll_lane(v, nz)
-                nx, nz = int(n[0]), int(n[1])
-                if nx:
-                    v = jnp.roll(v, nx, axis=0)
-                return _roll_lane(v, nz)
-
             for l in range(q):
-                extrap_opp = cs_speed * shift_by_normal(f_s[opp[l]]) + (1.0 - cs_speed) * f_s[opp[l]]
-                f_out[l] = jnp.where(jnp.logical_and(on, missing(opp[l])), extrap_opp, f_out[l])
+                m = opp[l]
+                if d == 3:
+                    t = (int(n[0] + c[0, m]), int(n[1] + c[1, m]), int(n[2] + c[2, m]))
+                else:
+                    t = (int(n[0] + c[0, m]), 0, int(n[1] + c[1, m]))
+                if any(abs(tc) > 1 for tc in t):
+                    # c_m . n >= +1: such a direction is never a staged slot
+                    # at this face (its pull source is interior fluid)
+                    continue
+                neighbor = _roll_lane(read_ext(m, 1 - t[0], 1 - t[1]), t[2])
+                if shifted:
+                    neighbor = neighbor + cdt(w[m])
+                extrap_opp = cs_speed * neighbor + (1.0 - cs_speed) * f_s[m]
+                f_out[l] = jnp.where(jnp.logical_and(on, missing(m)), extrap_opp, f_out[l])
 
         # solid voxels keep their previous populations (reference solid
-        # early-out, nse_stepper.py:440-441); also kills NaNs from rho=0
-        solid = bc == 31  # packed id of cell-type 255
+        # early-out, nse_stepper.py:440-441); also kills NaNs from rho=0.
+        # Skipped entirely when the stepper knows no voxel carries the
+        # solid tag (bounding-box-only setups) -- saves q slab reads.
+        solid = (bc == 31) if has_solids else None  # packed id of cell-type 255
         for l in range(q):
-            result = jnp.where(solid, f_pre[l], f_out[l])
+            result = jnp.where(solid, f_pre(l), f_out[l]) if has_solids else f_out[l]
             if shifted:
                 result = result - cdt(w[l])
             out[l] = result.astype(store_dtype)
@@ -396,6 +408,7 @@ def build_fused_collide_stream_3d(
     interpret=False,
     halo_x=False,
     shifted=False,
+    has_solids=True,
 ):
     """Build the fused 3D step: (f, mask_i32, omega) -> f_new.
 
@@ -409,7 +422,7 @@ def build_fused_collide_stream_3d(
     q = velocity_set.q
     assert X % TX == 0 and Y % TY == 0, f"tile {tile} must divide domain {shape[:2]}"
     nX, nY = X // TX, Y // TY
-    kernel = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted)
+    kernel = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids)
 
     fX = X + 2 if halo_x else X  # physical x-extent of the f input array
 

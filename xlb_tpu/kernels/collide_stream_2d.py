@@ -28,6 +28,7 @@ def build_fused_collide_stream_2d(
     tile_x=32,
     interpret=False,
     shifted=False,
+    has_solids=True,
 ):
     X, Y = shape
     TX = tile_x
@@ -38,7 +39,7 @@ def build_fused_collide_stream_2d(
     r = TX // 8
     nX8 = X // 8
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted, has_solids=has_solids)
     compute_from_ext = body.compute_from_ext
     cdt = compute_dtype
 

@@ -56,6 +56,7 @@ def build_fused_collide_stream_3d_dma(
     interpret=False,
     halo_x=False,
     shifted=False,
+    has_solids=True,
 ):
     """With ``halo_x=True`` the f input carries one extra x-layer per side
     (X+2 total) holding neighbor-shard data from an ICI halo exchange; x
@@ -69,7 +70,7 @@ def build_fused_collide_stream_3d_dma(
     nX, nY = X // TX, Y // TY
     n_tiles = nX * nY
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids)
     compute_from_ext = body.compute_from_ext
 
     c = velocity_set._c

@@ -176,7 +176,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     return step
 
 
-def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None):
+def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None):
     """A jitted ``num_steps``-window of the fused step with optional
     deviation-form (shifted) storage between steps.
 
@@ -186,6 +186,11 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     of quantizing them against the O(1) lattice weights -- and are converted
     back at the window boundary (two cheap elementwise passes per window).
 
+    With ``two_step=True`` (default when 16-bit storage makes the working
+    set fit VMEM), step pairs run through the temporally-blocked kernel
+    (collide_stream_2step.py) -- two LBM steps per HBM pass, bit-identical
+    to two single-step passes; an odd remainder runs one single step.
+
     Returns ``run(f_0, f_1, bc_mask, missing_mask, omega) -> (f_0, f_1)``
     in plain (unshifted) storage.
     """
@@ -193,12 +198,14 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     pp = stepper.precision_policy
     if shifted is None:
         shifted = jnp.dtype(pp.store_dtype).itemsize < 4
+    has_solids = getattr(stepper, "has_solids", True)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
     shape = stepper.grid.shape
 
+    fused2 = None
     if vs.d == 2:
         from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
 
@@ -206,6 +213,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile_x=(tile[0] if tile else 32), interpret=interpret, shifted=shifted,
+            has_solids=has_solids,
         )
     else:
         if kernel == "dma" and shape[2] % 128 != 0:
@@ -214,11 +222,30 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
         else:
             builder = build_fused_collide_stream_3d
+        tile = tile or ((8, 16) if kernel == "dma" else (16, 8))
         fused = builder(
             vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
-            tile=tile or ((8, 16) if kernel == "dma" else (16, 8)), interpret=interpret, shifted=shifted,
+            tile=tile, interpret=interpret, shifted=shifted, has_solids=has_solids,
         )
+        if two_step is None:
+            # the 2-step working set (depth-2 halo buffers + intermediate)
+            # only fits the 16 MB v5e VMEM with 16-bit storage
+            two_step = (
+                kernel == "dma"
+                and jnp.dtype(pp.store_dtype).itemsize < 4
+                and num_steps >= 2
+                and shape[0] % tile[0] == 0
+                and shape[1] % tile[1] == 0
+            )
+        if two_step:
+            from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_2step
+
+            fused2 = build_fused_collide_stream_3d_2step(
+                vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+                compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+                tile=tile, interpret=interpret, shifted=shifted, has_solids=has_solids,
+            )
 
     w_shift = vs._w.reshape((vs.q,) + (1,) * vs.d).astype(np.dtype(pp.store_dtype))
 
@@ -227,7 +254,12 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         mask_i32 = pack_masks(bc_mask, missing_mask)
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
         g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
-        g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c), g)
+        if fused2 is not None:
+            g = jax.lax.fori_loop(0, num_steps // 2, lambda i, g: fused2(g, mask_i32, omega_c), g)
+            if num_steps % 2:
+                g = fused(g, mask_i32, omega_c)
+        else:
+            g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c), g)
         f_out = (g.astype(pp.compute_dtype) + w_shift).astype(pp.store_dtype) if shifted else g
         return f_out, f_out
 

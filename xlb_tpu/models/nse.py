@@ -102,6 +102,13 @@ class IncompressibleNavierStokesStepper(Stepper):
 
         bc_mask, missing_mask = self._process_boundary_conditions(self.boundary_conditions, bc_mask, missing_mask)
 
+        # static hint for the fused kernels: a domain with no solid-tagged
+        # voxels skips the q-channel f_pre keep-out entirely (one scalar
+        # device fetch at setup time)
+        import jax.numpy as _jnp
+
+        self.has_solids = bool(_jnp.any(bc_mask == 255))
+
         if initializer is not None:
             f_0 = initializer(bc_mask, f_0)
         else:
