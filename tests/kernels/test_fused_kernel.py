@@ -65,6 +65,35 @@ def test_fused_halfway_and_do_nothing():
     assert float(jnp.abs(fa - ga).max()) < 5e-6
 
 
+def test_fused_forced_channel_matches_reference_step():
+    """Exact-difference body force in the fused kernel matches the jnp
+    tier's ForcedCollision (reference exact_difference_force.py:14-76)."""
+    vs = init_env(D3Q19)
+    grid = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    box = grid.bounding_box_indices()
+    walls = np.unique(np.concatenate([np.asarray(box[k]) for k in ("bottom", "top")], axis=1), axis=1)
+    stepper = IncompressibleNavierStokesStepper(
+        grid,
+        boundary_conditions=[HalfwayBounceBackBC(indices=walls.tolist())],
+        force_vector=np.array([1e-4, 0.0, 0.0]),
+    )
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True)
+    fa, fb = f0, f1
+    ga, gb = f0, f1
+    for t in range(3):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+        ga, gb = fused(ga, gb, bm, mm, 1.5, t)
+        ga, gb = gb, ga
+    assert float(jnp.abs(fa - ga).max()) < 5e-6
+    # the force must actually accelerate the flow
+    from xlb_tpu.ops import Macroscopic
+
+    _, u = Macroscopic()(ga.astype(jnp.float32))
+    assert float(jnp.mean(u[0][:, :, 1:-1])) > 1e-5
+
+
 def test_pack_masks_roundtrip():
     vs = init_env(D3Q19)
     rng = np.random.default_rng(0)

@@ -1,16 +1,23 @@
-"""Multi-chip fused-kernel path: shard_map + ICI halo exchange matches the
-single-device jnp oracle (8 virtual CPU devices, interpret-mode Pallas)."""
+"""Multi-chip fused-kernel path: windowed shard_map + ICI halo exchange
+matches single-device oracles (8 virtual CPU devices, interpret-mode
+Pallas).  Covers 1-D (8,1) and 2-D (2,4) meshes, the temporally-blocked
+distributed 2-step kernel (16-bit storage), and the comm/compute-overlap
+inner/ring split."""
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from tests.conftest import init_env
 from xlb_tpu.velocity_set import D3Q19
 from xlb_tpu.grid import grid_factory
 from xlb_tpu.models import IncompressibleNavierStokesStepper
 from xlb_tpu.boundary import EquilibriumBC, FullwayBounceBackBC
-from xlb_tpu.parallel.pallas_distribute import build_distributed_fused_step
+from xlb_tpu.parallel.pallas_distribute import (
+    build_distributed_fused_step,
+    build_distributed_fused_window,
+)
 
 
 def _scene(grid):
@@ -25,30 +32,82 @@ def _scene(grid):
     ]
 
 
-def test_distributed_fused_step_matches_oracle():
-    vs = init_env(D3Q19)
-    shape = (32, 16, 16)
+def _fresh_stepper(shape, mesh_shape=None, devices=None, precision="FP32FP32"):
+    from xlb_tpu.boundary.registry import boundary_condition_registry
 
-    # single-device oracle
-    grid1 = grid_factory(shape, mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
-    st1 = IncompressibleNavierStokesStepper(grid1, boundary_conditions=_scene(grid1))
-    f0, f1, bm, mm = st1.prepare_fields()
+    boundary_condition_registry.reset()
+    init_env(D3Q19, precision=precision)
+    grid = grid_factory(shape, mesh_shape=mesh_shape, devices=devices)
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=_scene(grid))
+    return stepper, stepper.prepare_fields()
+
+
+def test_distributed_fused_step_matches_oracle():
+    shape = (32, 16, 16)
+    st1, (f0, f1, bm, mm) = _fresh_stepper(shape, mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
     fa, fb = f0, f1
     for t in range(3):
         fa, fb = st1(fa, fb, bm, mm, 1.4, t)
         fa, fb = fb, fa
     expected = np.asarray(fa)
 
-    # 8-way sharded fused path
-    from xlb_tpu.boundary.registry import boundary_condition_registry
-
-    boundary_condition_registry.reset()
-    grid8 = grid_factory(shape)  # 8 devices on x
-    st8 = IncompressibleNavierStokesStepper(grid8, boundary_conditions=_scene(grid8))
-    g0, g1, bm8, mm8 = st8.prepare_fields()
-    step = build_distributed_fused_step(st8, grid8, tile=(4, 8), interpret=True)
+    st8, (g0, g1, bm8, mm8) = _fresh_stepper(shape)  # 8 devices on x
+    step = build_distributed_fused_step(st8, st8.grid, tile=(4, 8), interpret=True)
     ga, gb = g0, g1
     for t in range(3):
         ga, gb = step(ga, gb, bm8, mm8, 1.4, t)
         ga, gb = gb, ga
     np.testing.assert_allclose(np.asarray(ga), expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 4, 1)])
+def test_distributed_fused_window_10_steps(mesh_shape):
+    """10-step window on 1-D and 2-D meshes vs the single-device jnp tier."""
+    shape = (32, 32, 16)
+    steps = 10
+    st1, (f0, f1, bm, mm) = _fresh_stepper(shape, mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    fa, fb = f0, f1
+    for t in range(steps):
+        fa, fb = st1(fa, fb, bm, mm, 1.6, t)
+        fa, fb = fb, fa
+    expected = np.asarray(fa)
+
+    stn, (g0, g1, bmn, mmn) = _fresh_stepper(shape, mesh_shape=mesh_shape)
+    run = build_distributed_fused_window(stn, steps, tile=(4, 8), interpret=True, overlap=False)
+    ga, _ = run(g0, g1, bmn, mmn, 1.6)
+    assert ga.sharding.spec == stn.grid.field_spec
+    np.testing.assert_allclose(np.asarray(ga), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_2step_bf16_matches_single_device_fused():
+    """Distributed windowed 2-step kernel (16-bit deviation-form storage,
+    padded masks, depth-2 exchanges) is bit-identical to the single-device
+    fused window."""
+    from xlb_tpu.kernels.fused_step import build_fused_window
+
+    shape = (16, 32, 128)
+    steps = 5  # odd: exercises the single-step remainder
+    st1, (f0, f1, bm, mm) = _fresh_stepper(
+        shape, mesh_shape=(1, 1, 1), devices=jax.devices()[:1], precision="FP32BF16"
+    )
+    ref_run = build_fused_window(st1, steps, tile=(4, 8), interpret=True)
+    ra, _ = ref_run(f0, f1, bm, mm, 1.7)
+    expected = np.asarray(ra.astype(jnp.float32))
+
+    stn, (g0, g1, bmn, mmn) = _fresh_stepper(shape, mesh_shape=(2, 4, 1), precision="FP32BF16")
+    run = build_distributed_fused_window(stn, steps, tile=(4, 8), interpret=True, overlap=False)
+    ga, _ = run(g0, g1, bmn, mmn, 1.7)
+    np.testing.assert_array_equal(np.asarray(ga.astype(jnp.float32)), expected)
+
+
+def test_distributed_overlap_split_matches_unsplit():
+    """The inner/ring comm-overlap split produces the same populations as
+    the single full-grid kernel per iteration."""
+    shape = (24, 96, 16)  # local (12, 24): 3x3 tiles at (4, 8) -> split active
+    steps = 4
+    stn, (g0, g1, bmn, mmn) = _fresh_stepper(shape, mesh_shape=(2, 4, 1))
+    run_plain = build_distributed_fused_window(stn, steps, tile=(4, 8), interpret=True, overlap=False)
+    pa, _ = run_plain(g0, g1, bmn, mmn, 1.5)
+    run_split = build_distributed_fused_window(stn, steps, tile=(4, 8), interpret=True, overlap=True)
+    sa, _ = run_split(g0, g1, bmn, mmn, 1.5)
+    np.testing.assert_array_equal(np.asarray(sa), np.asarray(pa))

@@ -69,7 +69,10 @@ def _roll_lane(x, shift):
     return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
 
 
-def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY, smagorinsky_coef=0.17, shifted=False, has_solids=True):
+def _build_kernel_body(
+    vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY,
+    smagorinsky_coef=0.17, shifted=False, has_solids=True, force_vector=None,
+):
     """Returns the Pallas kernel body closure for a DdQq fused step.
 
     ``shifted=True`` stores populations in deviation form g_l = f_l - w_l
@@ -318,6 +321,13 @@ def _build_kernel_body(vs, collision, bc_specs, compute_dtype, store_dtype, TX, 
         feq = equilibrium(rho, u)
         f_out = collide(f_s, feq, omega)
 
+        # exact-difference body force (Kupershtokh; ops/force.py:28-45,
+        # reference exact_difference_force.py:14-76): f += feq(rho, u+F) - feq
+        if force_vector is not None:
+            u_f = [u[a] + cdt(force_vector[a]) for a in range(d)]
+            feq_f = equilibrium(rho, u_f)
+            f_out = [f_out[l] + (feq_f[l] - feq[l]) for l in range(q)]
+
         # ---- collision-step BCs -------------------------------------------
         for spec in bc_specs:
             if spec["step"] != "collision":
@@ -409,6 +419,7 @@ def build_fused_collide_stream_3d(
     halo_x=False,
     shifted=False,
     has_solids=True,
+    force_vector=None,
 ):
     """Build the fused 3D step: (f, mask_i32, omega) -> f_new.
 
@@ -422,7 +433,7 @@ def build_fused_collide_stream_3d(
     q = velocity_set.q
     assert X % TX == 0 and Y % TY == 0, f"tile {tile} must divide domain {shape[:2]}"
     nX, nY = X // TX, Y // TY
-    kernel = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids)
+    kernel = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
 
     fX = X + 2 if halo_x else X  # physical x-extent of the f input array
 

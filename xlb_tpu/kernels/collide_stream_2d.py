@@ -29,6 +29,7 @@ def build_fused_collide_stream_2d(
     interpret=False,
     shifted=False,
     has_solids=True,
+    force_vector=None,
 ):
     X, Y = shape
     TX = tile_x
@@ -39,7 +40,7 @@ def build_fused_collide_stream_2d(
     r = TX // 8
     nX8 = X // 8
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted, has_solids=has_solids)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
     compute_from_ext = body.compute_from_ext
     cdt = compute_dtype
 

@@ -49,8 +49,19 @@ def build_fused_collide_stream_3d_2step(
     interpret=False,
     shifted=False,
     has_solids=True,
+    force_vector=None,
+    padded_halo=False,
+    sub_grid=None,
+    alias_output=False,
 ):
-    """Build a fused DOUBLE step: (f, mask_i32, omega) -> f after 2 steps."""
+    """Build a fused DOUBLE step: (f, mask_i32, omega) -> f after 2 steps.
+
+    With ``padded_halo=True`` both f and the packed mask carry TX/TY-wide
+    pads per side holding neighbor-shard data (depth-2 for f, depth-1 for
+    the mask) from an ICI halo exchange; pieces read fixed pad-relative
+    offsets instead of wrapping, and the output keeps the padded shape so
+    it can serve as a loop carry (see xlb_tpu.parallel.pallas_distribute).
+    """
     X, Y, Z = shape
     TX, TY = tile
     q = velocity_set.q
@@ -58,10 +69,12 @@ def build_fused_collide_stream_3d_2step(
     assert TY % 8 == 0, "TY must be a multiple of the sublane tile (8)"
     assert Z % 128 == 0, "manual DMA slices need a 128-multiple lane extent"
     nX, nY = X // TX, Y // TY
-    n_tiles = nX * nY
+    oi, oj, gi, gj = sub_grid if sub_grid is not None else (0, 0, nX, nY)
+    assert 0 <= oi and oi + gi <= nX and 0 <= oj and oj + gj <= nY, f"sub_grid {sub_grid} out of range"
+    n_tiles = gi * gj
     TXe, TYe = TX + 2, TY + 2  # step-1 (intermediate) region
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
     compute_from_ext = body.compute_from_ext
 
     c = velocity_set._c
@@ -87,32 +100,57 @@ def build_fused_collide_stream_3d_2step(
     m_pieces = [(xp, yp) for xp in (1, 2, 3) for yp in (0, 1, 2)]
     n_dmas = len(f_pieces) + len(m_pieces)
 
-    def _x_src(i, xp):
-        if xp == 0:
-            return jax.lax.rem(i * TX - 2 + X, X), 1, 0
-        if xp == 1:
-            return jax.lax.rem(i * TX - 1 + X, X), 1, 1
-        if xp == 2:
-            return i * TX, TX, 2
-        if xp == 3:
-            return jax.lax.rem((i + 1) * TX, X), 1, TX + 2
-        return jax.lax.rem((i + 1) * TX + 1, X), 1, TX + 3
+    if padded_halo:
+        assert TX >= 2, "padded_halo needs a TX >= 2 pad for the depth-2 x-halo"
 
-    def _y_src(j, yp):
-        if yp == 0:
-            return pl.multiple_of(jax.lax.rem(j * TY - 8 + Y, Y), 8), 8, 0
-        if yp == 1:
-            return pl.multiple_of(j * TY, 8), TY, 8
-        return pl.multiple_of(jax.lax.rem((j + 1) * TY, Y), 8), 8, TY + 8
+        def _x_src(i, xp):
+            base = TX + i * TX
+            if xp == 0:
+                return base - 2, 1, 0
+            if xp == 1:
+                return base - 1, 1, 1
+            if xp == 2:
+                return base, TX, 2
+            if xp == 3:
+                return base + TX, 1, TX + 2
+            return base + TX + 1, 1, TX + 3
 
-    def kernel(omega_ref, f_hbm, mask_hbm, out, buf, mbuf, inter, sems):
-        it = pl.program_id(0) * nY + pl.program_id(1)
+        def _y_src(j, yp):
+            base = TY + j * TY
+            if yp == 0:
+                return pl.multiple_of(base - 8, 8), 8, 0
+            if yp == 1:
+                return pl.multiple_of(base, 8), TY, 8
+            return pl.multiple_of(base + TY, 8), 8, TY + 8
+    else:
+
+        def _x_src(i, xp):
+            if xp == 0:
+                return jax.lax.rem(i * TX - 2 + X, X), 1, 0
+            if xp == 1:
+                return jax.lax.rem(i * TX - 1 + X, X), 1, 1
+            if xp == 2:
+                return i * TX, TX, 2
+            if xp == 3:
+                return jax.lax.rem((i + 1) * TX, X), 1, TX + 2
+            return jax.lax.rem((i + 1) * TX + 1, X), 1, TX + 3
+
+        def _y_src(j, yp):
+            if yp == 0:
+                return pl.multiple_of(jax.lax.rem(j * TY - 8 + Y, Y), 8), 8, 0
+            if yp == 1:
+                return pl.multiple_of(j * TY, 8), TY, 8
+            return pl.multiple_of(jax.lax.rem((j + 1) * TY, Y), 8), 8, TY + 8
+
+    def kernel(omega_ref, f_hbm, mask_hbm, *rest):
+        out, buf, mbuf, inter, sems = rest[-5:]  # alias_output adds an unread out_init input
+        it = pl.program_id(0) * gj + pl.program_id(1)
         slot = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
 
         def piece_dma(slot_idx, linear_idx, k):
-            i = linear_idx // nY
-            j = jax.lax.rem(linear_idx, nY)
+            i = oi + linear_idx // gj
+            j = oj + jax.lax.rem(linear_idx, gj)
             if k < len(f_pieces):
                 cstart, clen, xp, yp = f_pieces[k]
                 xs, xlen, dx = _x_src(i, xp)
@@ -163,15 +201,24 @@ def build_fused_collide_stream_3d_2step(
         mask_core = mbuf[slot, 1 : TX + 1, 8 : TY + 8, :]
         compute_from_ext(read2, mask_core, out, omega)
 
+    if padded_halo:
+        out_shape = (q, X + 2 * TX, Y + 2 * TY, Z)
+        out_spec = pl.BlockSpec((q, TX, TY, Z), lambda a, b: (0, oi + a + 1, oj + b + 1, 0))
+    else:
+        out_shape = (q, X, Y, Z)
+        out_spec = pl.BlockSpec((q, TX, TY, Z), lambda a, b: (0, oi + a, oj + b, 0))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),  # packed mask stays in HBM
+    ]
+    if alias_output:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nX, nY),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed mask stays in HBM
-        ],
-        out_specs=pl.BlockSpec((q, TX, TY, Z), lambda i, j: (0, i, j, 0)),
+        grid=(gi, gj),
+        in_specs=in_specs,
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, q, BX, BY, Z), store_dtype),
             pltpu.VMEM((2, BXm, BYm, Z), jnp.int32),
@@ -183,13 +230,19 @@ def build_fused_collide_stream_3d_2step(
     fused2 = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q, X, Y, Z), store_dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, store_dtype),
         interpret=interpret,
+        input_output_aliases={3: 0} if alias_output else {},
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step2(f, mask_i32, omega):
+    def step2(f, mask_i32, omega, out_init=None):
+        if padded_halo:
+            assert f.shape[1:3] == (X + 2 * TX, Y + 2 * TY) and mask_i32.shape[:2] == (X + 2 * TX, Y + 2 * TY)
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        if alias_output:
+            assert out_init is not None, "alias_output kernel needs the output buffer to write into"
+            return fused2(omega_arr, f, mask_i32, out_init)
         return fused2(omega_arr, f, mask_i32)
 
     return step2

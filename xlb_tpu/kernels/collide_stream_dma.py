@@ -54,23 +54,38 @@ def build_fused_collide_stream_3d_dma(
     store_dtype=jnp.float32,
     tile=(8, 16),
     interpret=False,
-    halo_x=False,
+    padded_halo=False,
     shifted=False,
     has_solids=True,
+    force_vector=None,
+    sub_grid=None,
+    alias_output=False,
 ):
-    """With ``halo_x=True`` the f input carries one extra x-layer per side
-    (X+2 total) holding neighbor-shard data from an ICI halo exchange; x
-    pulls then read those layers instead of wrapping periodically (used by
-    the multi-chip wrapper in xlb_tpu.parallel.pallas_distribute)."""
+    """With ``padded_halo=True`` the f input (and output) carry a TX-wide
+    x-pad and TY-wide y-pad per side -- shape (q, X+2TX, Y+2TY, Z) around the
+    (X, Y, Z) interior -- whose innermost layer/row holds neighbor-shard data
+    from an ICI halo exchange.  Halo pieces then read fixed offsets into the
+    pads instead of wrapping periodically, the output tiles stay
+    block-aligned, and the returned array has the same padded shape so it can
+    serve as a loop carry (used by xlb_tpu.parallel.pallas_distribute).
+    ``shape`` is always the interior (X, Y, Z); masks stay unpadded.
+
+    ``sub_grid=(oi, oj, gi, gj)`` restricts the kernel to the gi x gj tile
+    rectangle starting at tile (oi, oj); with ``alias_output=True`` the step
+    takes an extra ``out_init`` array donated as the output buffer, so
+    several sub-grid calls can compose one full-domain update (the
+    comm/compute-overlap split in parallel/pallas_distribute.py)."""
     X, Y, Z = shape
     TX, TY = tile
     q = velocity_set.q
     assert X % TX == 0 and Y % TY == 0, f"tile {tile} must divide domain {shape[:2]}"
     assert TY % 8 == 0, "TY must be a multiple of the sublane tile (8)"
     nX, nY = X // TX, Y // TY
-    n_tiles = nX * nY
+    oi, oj, gi, gj = sub_grid if sub_grid is not None else (0, 0, nX, nY)
+    assert 0 <= oi and oi + gi <= nX and 0 <= oj and oj + gj <= nY, f"sub_grid {sub_grid} out of range"
+    n_tiles = gi * gj
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
     compute_from_ext = body.compute_from_ext
 
     c = velocity_set._c
@@ -108,24 +123,36 @@ def build_fused_collide_stream_3d_dma(
             pieces.append((cstart, clen, px, py))
     n_dmas = len(pieces)
 
-    def kernel(omega_ref, f_hbm, mask_ref, out, buf, sems):
-        it = pl.program_id(0) * nY + pl.program_id(1)
+    def kernel(omega_ref, f_hbm, mask_ref, *rest):
+        out, buf, sems = rest[-3:]  # alias_output adds an unread out_init input
+        it = pl.program_id(0) * gj + pl.program_id(1)
         slot = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
 
         def piece_dma(slot_idx, linear_idx, k):
-            i = linear_idx // nY
-            j = jax.lax.rem(linear_idx, nY)
+            i = oi + linear_idx // gj
+            j = oj + jax.lax.rem(linear_idx, gj)
             cstart, clen, px, py = pieces[k]
-            if halo_x:
-                # halo'd input: offsets shift by 1, never wrap
+            if padded_halo:
+                # pad-relative offsets, never wrap (pads hold neighbor data)
                 if px == 0:
-                    xs, xlen, dx = i * TX, 1, 0
+                    xs, xlen, dx = TX + i * TX - 1, 1, 0
                 elif px == 1:
-                    xs, xlen, dx = 1 + i * TX, TX, 1
+                    xs, xlen, dx = TX + i * TX, TX, 1
                 else:
-                    xs, xlen, dx = 1 + (i + 1) * TX, 1, TX + 1
-            elif px == 0:
+                    xs, xlen, dx = TX + (i + 1) * TX, 1, TX + 1
+                if py == 0:
+                    ys, ylen, dy = pl.multiple_of(TY + j * TY - 8, 8), 8, 0
+                elif py == 1:
+                    ys, ylen, dy = pl.multiple_of(TY + j * TY, 8), TY, 8
+                else:
+                    ys, ylen, dy = pl.multiple_of(TY + (j + 1) * TY, 8), 8, TY + 8
+                return pltpu.make_async_copy(
+                    f_hbm.at[pl.ds(cstart, clen), pl.ds(xs, xlen), pl.ds(ys, ylen), :],
+                    buf.at[slot_idx, pl.ds(cstart, clen), pl.ds(dx, xlen), pl.ds(dy, ylen), :],
+                    sems.at[slot_idx, k],
+                )
+            if px == 0:
                 xs, xlen, dx = jax.lax.rem(i * TX - 1 + X, X), 1, 0
             elif px == 1:
                 xs, xlen, dx = i * TX, TX, 1
@@ -166,16 +193,25 @@ def build_fused_collide_stream_3d_dma(
 
         compute_from_ext(read_ext, mask_ref[...], out, cdt(omega_ref[0, 0]))
 
-    spec_mask = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0))
+    spec_mask = pl.BlockSpec((TX, TY, Z), lambda a, b: (oi + a, oj + b, 0))
+    if padded_halo:
+        out_shape = (q, X + 2 * TX, Y + 2 * TY, Z)
+        out_spec = pl.BlockSpec((q, TX, TY, Z), lambda a, b: (0, oi + a + 1, oj + b + 1, 0))
+    else:
+        out_shape = (q, X, Y, Z)
+        out_spec = pl.BlockSpec((q, TX, TY, Z), lambda a, b: (0, oi + a, oj + b, 0))
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM, DMA'd manually
+        spec_mask,
+    ]
+    if alias_output:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
-        grid=(nX, nY),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM, DMA'd manually
-            spec_mask,
-        ],
-        out_specs=pl.BlockSpec((q, TX, TY, Z), lambda i, j: (0, i, j, 0)),
+        grid=(gi, gj),
+        in_specs=in_specs,
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((2, q, BX, BY, Z), store_dtype),
             pltpu.SemaphoreType.DMA((2, n_dmas)),
@@ -185,15 +221,21 @@ def build_fused_collide_stream_3d_dma(
     fused = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((q, X, Y, Z), store_dtype),
+        out_shape=jax.ShapeDtypeStruct(out_shape, store_dtype),
         interpret=interpret,
+        input_output_aliases={3: 0} if alias_output else {},
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(f, mask_i32, omega):
-        if halo_x:
-            assert f.shape[1] == X + 2, f"halo_x kernel expects x extent {X + 2}, got {f.shape[1]}"
+    def step(f, mask_i32, omega, out_init=None):
+        if padded_halo:
+            assert f.shape[1:3] == (X + 2 * TX, Y + 2 * TY), (
+                f"padded_halo kernel expects padded extents {(X + 2 * TX, Y + 2 * TY)}, got {f.shape[1:3]}"
+            )
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        if alias_output:
+            assert out_init is not None, "alias_output kernel needs the output buffer to write into"
+            return fused(omega_arr, f, mask_i32, out_init)
         return fused(omega_arr, f, mask_i32)
 
     return step

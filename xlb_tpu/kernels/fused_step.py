@@ -61,6 +61,13 @@ def bc_to_spec(bc, velocity_set):
     )
 
 
+def stepper_force_vector(stepper):
+    """Static (host NumPy) body-force vector of a forced stepper, or None.
+    Kept NumPy so it lifts into the kernel as a compile-time constant."""
+    fv = getattr(getattr(stepper, "collision", None), "force_vector", None)
+    return None if fv is None else np.asarray(fv, dtype=np.float64)
+
+
 def pack_masks(bc_mask, missing_mask):
     """(bc_mask uint8 (1,*s), missing bool (q,*s)) -> one int32 (*s).
 
@@ -90,6 +97,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     shape = stepper.grid.shape
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
     collision = stepper.collision_type
+    force_vector = stepper_force_vector(stepper)
     pp = stepper.precision_policy
 
     if interpret is None:
@@ -107,6 +115,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
             store_dtype=pp.store_dtype,
             tile_x=(tile[0] if tile else 32),
             interpret=interpret,
+            force_vector=force_vector,
         )
 
         def step2d(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
@@ -137,6 +146,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
         store_dtype=pp.store_dtype,
         tile=tile,
         interpret=interpret,
+        force_vector=force_vector,
     )
 
     # -- differentiability: the fused forward pairs with the jnp tier's VJP
@@ -192,13 +202,18 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     to two single-step passes; an odd remainder runs one single step.
 
     Returns ``run(f_0, f_1, bc_mask, missing_mask, omega) -> (f_0, f_1)``
-    in plain (unshifted) storage.
+    in plain (unshifted) form.  When shifted, the returned field is in the
+    COMPUTE dtype: quantizing g + w back to 16 bits at the window boundary
+    would silently erase deviations below ~0.4% of the lattice weights
+    (the state lives in the deviations).  The next window re-shifts from
+    any input dtype, so windows chain losslessly.
     """
     vs = stepper.velocity_set
     pp = stepper.precision_policy
     if shifted is None:
         shifted = jnp.dtype(pp.store_dtype).itemsize < 4
     has_solids = getattr(stepper, "has_solids", True)
+    force_vector = stepper_force_vector(stepper)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -213,7 +228,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile_x=(tile[0] if tile else 32), interpret=interpret, shifted=shifted,
-            has_solids=has_solids,
+            has_solids=has_solids, force_vector=force_vector,
         )
     else:
         if kernel == "dma" and shape[2] % 128 != 0:
@@ -227,6 +242,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile=tile, interpret=interpret, shifted=shifted, has_solids=has_solids,
+            force_vector=force_vector,
         )
         if two_step is None:
             # the 2-step working set (depth-2 halo buffers + intermediate)
@@ -245,6 +261,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                 vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
                 compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
                 tile=tile, interpret=interpret, shifted=shifted, has_solids=has_solids,
+                force_vector=force_vector,
             )
 
     w_shift = vs._w.reshape((vs.q,) + (1,) * vs.d).astype(np.dtype(pp.store_dtype))
@@ -260,7 +277,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                 g = fused(g, mask_i32, omega_c)
         else:
             g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c), g)
-        f_out = (g.astype(pp.compute_dtype) + w_shift).astype(pp.store_dtype) if shifted else g
+        f_out = g.astype(pp.compute_dtype) + w_shift.astype(pp.compute_dtype) if shifted else g
         return f_out, f_out
 
     return run
