@@ -67,6 +67,13 @@ def test_flow_past_cylinder_2d():
     assert np.isfinite(drags).all() and np.isfinite(uy).all()
 
 
+def test_multires_windtunnel_3d():
+    drags = _load("cfd/multires_windtunnel_3d.py").run(nx=24, nyz=16, coarse_steps=20, print_every=0)
+    assert len(drags) == 20 and np.isfinite(drags).all()
+    # momentum exchange must register positive drag once the flow arrives
+    assert drags[-1] > 0
+
+
 def test_channel_3d_distributed():
     mlups = _load("cfd/channel_3d_distributed.py").run(cells_per_device_x=8, ny=16, nz=16, num_steps=30)
     assert mlups > 0

@@ -83,6 +83,19 @@ class MultiresGrid:
         """Shape of a level (parity with reference multires_grid.py:142-149)."""
         return self.levels[level].shape
 
+    def level_origin_spacing(self, level):
+        """(origin, spacing) of a level's voxel grid in coarsest-level
+        (global) units: global = origin + index * spacing."""
+        idx = self.num_levels - 1
+        origin = np.zeros(self.dim, dtype=np.float64)
+        spacing = 1.0
+        while idx > level:
+            child = self.levels[idx - 1]
+            origin = origin + np.asarray(child.origin_in_parent, dtype=np.float64) * spacing
+            spacing = spacing / 2.0
+            idx -= 1
+        return origin, spacing
+
     def finest_equivalent_cells(self):
         """Total cell count if the whole domain were at finest resolution."""
         coarsest = self.levels[-1]

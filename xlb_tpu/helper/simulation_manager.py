@@ -40,6 +40,22 @@ class MultiresSimulationManager:
             self.step()
         return self.f_0
 
+    def step_with_force(self, momentum_transfer):
+        """Advance one coarsest-level timestep and return the momentum-
+        exchange force at ``momentum_transfer.level`` (in that level's
+        lattice units).  Reference capability: MultiresMomentumTransfer
+        (force/multires_momentum_transfer.py:17-139)."""
+        if getattr(self, "_force_mt", None) is not momentum_transfer:
+            self._force_mt = momentum_transfer
+            self._jitted_force = jax.jit(
+                lambda fs: self.stepper.step_with_force(
+                    fs, self.bc_mask, self.missing_mask, self.omega, momentum_transfer
+                )
+            )
+        self.f_0, force = self._jitted_force(self.f_0)
+        self.iteration_idx += 1
+        return force
+
     def export_macroscopic(self):
         """Per-level (rho, u) as NumPy arrays, finest first."""
         mac = Macroscopic()

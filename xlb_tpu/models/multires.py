@@ -121,6 +121,17 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             bc_mask = lvl.create_field(1, dtype=jnp.uint8)
             missing = lvl.create_field(vs.q, dtype=jnp.bool_)
             bcs = self.boundary_conditions.get(l, [])
+            for bc in bcs:
+                # per-level mesh attachment: voxelize in the level's own
+                # cell coordinates (reference multires maskers run the
+                # same queries per level, multires_aabb.py etc.)
+                if bc.mesh_vertices is not None and bc.indices is None:
+                    from xlb_tpu.geometry.mesh_masker import assign_mesh_indices
+
+                    origin, spacing = self.grid.level_origin_spacing(l)
+                    assign_mesh_indices(bc, lvl, spacing=spacing, origin=tuple(origin))
+                    if bc.needs_mesh_distance:
+                        bc.compute_mesh_distances()
             if bcs:
                 masker = IndicesBoundaryMasker(vs, self.precision_policy, self.compute_backend)
                 bc_mask, missing = masker(bcs, bc_mask, missing)
@@ -174,15 +185,23 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
 
     def _apply_bcs(self, step, level, f_pre, f_post, bc_mask, missing_mask):
         for bc in self.boundary_conditions.get(level, []):
+            if step == ImplementationStep.COLLISION:
+                # post-collision aux staging (e.g. ExtrapolationOutflowBC
+                # writes extrapolated populations into outgoing slots);
+                # f_pre here is the pre-collision = previous post-stream
+                # state, matching the NSE stepper's call (models/nse.py)
+                f_post = bc.assemble_auxiliary_data(f_pre, f_post, bc_mask, missing_mask)
             if bc.implementation_step == step:
                 f_post = bc(f_pre, f_post, bc_mask, missing_mask)
         return f_post
 
     # ------------------------------------------------------------------
-    def _advance(self, level, fs, bms, mms, omega_finest):
+    def _advance(self, level, fs, bms, mms, omega_finest, probe=None):
         """Advance ``level`` by one of its own timesteps (recursively running
         2 sub-steps of each finer level).  ``fs`` is the per-level state list
-        (current populations)."""
+        (current populations).  ``probe``, if given, is called as
+        ``probe(level, f_post_stream, f_post_collision)`` after each
+        sub-step (used by step_with_force)."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         f = pp.cast_to_compute(fs[level])
@@ -193,17 +212,19 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         if level > 0:
             # two fine sub-steps against this level's post-collision state
             ghost_ext = self._explode(f_pc, level - 1)
-            fs = self._advance_fine_pair(level - 1, fs, bms, mms, omega_finest, ghost_ext)
+            fs = self._advance_fine_pair(level - 1, fs, bms, mms, omega_finest, ghost_ext, probe)
             # pull coalesced fine state into the refined region before streaming
             f_pc = self._coalesce(f_pc, pp.cast_to_compute(fs[level - 1]), level - 1)
 
         f_ps = stream_pull(f_pc, self.velocity_set._c)
         f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
+        if probe is not None:
+            probe(level, f_ps, f_pc)
         fs = list(fs)
         fs[level] = pp.cast_to_store(f_ps)
         return fs
 
-    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext):
+    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None):
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         for _ in range(2):
@@ -212,10 +233,12 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             f_pc = self._apply_bcs(ImplementationStep.COLLISION, level, f, f_pc, bms[level], mms[level])
             if level > 0:
                 child_ghost = self._explode(f_pc, level - 1)
-                fs = self._advance_fine_pair(level - 1, fs, bms, mms, omega_finest, child_ghost)
+                fs = self._advance_fine_pair(level - 1, fs, bms, mms, omega_finest, child_ghost, probe)
                 f_pc = self._coalesce(f_pc, pp.cast_to_compute(fs[level - 1]), level - 1)
             f_ps = self._stream_with_ghosts(f_pc, ghost_ext, level)
             f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
+            if probe is not None:
+                probe(level, f_ps, f_pc)
             fs = list(fs)
             fs[level] = pp.cast_to_store(f_ps)
         return fs
@@ -224,3 +247,22 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         """One coarsest-level timestep (= 2^(L-1) finest steps).  Returns the
         updated per-level population list."""
         return self._advance(self.grid.num_levels - 1, list(fs), bms, mms, omega_finest)
+
+    def step_with_force(self, fs, bms, mms, omega_finest, momentum_transfer):
+        """One coarsest-level timestep that also integrates the momentum-
+        exchange force at ``momentum_transfer.level`` (the reference's
+        MultiresMomentumTransfer capability, multires_momentum_transfer.py:
+        17-139).  Returns ``(fs, force)`` with the force sampled at that
+        level's final sub-step of this coarse step, in the level's lattice
+        units."""
+        lvl = momentum_transfer.level
+        out = {}
+
+        def probe(level, f_ps, f_pc):
+            if level == lvl:
+                out["force"] = momentum_transfer.from_states(f_ps, f_pc, bms[level], mms[level])
+
+        fs = self._advance(self.grid.num_levels - 1, list(fs), bms, mms, omega_finest, probe)
+        if "force" not in out:
+            raise ValueError(f"momentum_transfer.level={lvl} outside this grid's {self.grid.num_levels} levels")
+        return fs, out["force"]

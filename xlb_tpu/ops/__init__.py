@@ -2,7 +2,7 @@ from xlb_tpu.ops.stream import Stream
 from xlb_tpu.ops.equilibrium import Equilibrium, QuadraticEquilibrium
 from xlb_tpu.ops.macroscopic import ZeroMoment, FirstMoment, SecondMoment, Macroscopic
 from xlb_tpu.ops.collision import Collision, BGK, KBC, SmagorinskyLESBGK, ForcedCollision
-from xlb_tpu.ops.force import ExactDifference, MomentumTransfer
+from xlb_tpu.ops.force import ExactDifference, MomentumTransfer, MultiresMomentumTransfer
 from xlb_tpu.ops.precision_caster import PrecisionCaster
 
 __all__ = [
@@ -20,5 +20,6 @@ __all__ = [
     "ForcedCollision",
     "ExactDifference",
     "MomentumTransfer",
+    "MultiresMomentumTransfer",
     "PrecisionCaster",
 ]

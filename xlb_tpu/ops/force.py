@@ -118,3 +118,32 @@ class MomentumTransfer(Operator):
 
         force = stencil_contract(vs._c[:, opp], phi)
         return jnp.sum(force, axis=tuple(range(1, force.ndim)))
+
+
+class MultiresMomentumTransfer(MomentumTransfer):
+    """Momentum-exchange force on a multi-resolution grid (reference
+    force/multires_momentum_transfer.py:17-139).
+
+    The no-slip boundary voxels must all live at a single level and away
+    from level-transition regions (the reference asserts the same); the
+    force is integrated on that level's post-collision / post-stream pair,
+    which the multires stepper retains when stepping via
+    ``step_with_force``.  The returned force is in the BC level's lattice
+    units (acoustic scaling keeps velocities level-invariant, so drag
+    coefficients normalize with that level's cell size).
+    """
+
+    def __init__(self, no_slip_bc_instance, level=0, velocity_set=None, precision_policy=None, compute_backend=None):
+        super().__init__(
+            no_slip_bc_instance,
+            LBMOperationSequence.COLLIDE_THEN_STREAM,
+            velocity_set=velocity_set,
+            precision_policy=precision_policy,
+            compute_backend=compute_backend,
+        )
+        self.level = int(level)
+
+    def from_states(self, f_post_stream, f_post_collision, bc_mask, missing_mask):
+        """Force from explicitly supplied level states (the COLLIDE_THEN_
+        STREAM fetcher maps (f_0, f_1) -> (f_1, f_0), hence the order)."""
+        return super().__call__(f_post_stream, f_post_collision, bc_mask, missing_mask)
