@@ -17,7 +17,7 @@ from xlb_tpu.helper.simulation_manager import MultiresSimulationManager
 from xlb_tpu.mres_perf_optimization_type import MresPerfOptimizationType
 
 
-def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3):
+def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3, mres_perf="naive_collide_stream"):
     xlb.init(velocity_set=D3Q19(), default_backend=xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
 
@@ -32,8 +32,9 @@ def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3):
         parent = tuple(2 * e for e in extent)
     grid = MultiresGrid(shape, boxes=boxes)
 
-    sim = MultiresSimulationManager(grid, omega_finest=1.6)
-    sim.step()  # compile
+    strategy = MresPerfOptimizationType.from_string(mres_perf)
+    sim = MultiresSimulationManager(grid, omega_finest=1.6, mres_perf_opt=strategy)
+    sim.run(num_coarse_steps)  # compile the window + warm up
 
     # per-level weighted updates per coarse step: level l runs 2^(L-1-l)
     # sub-steps of its own cell count
@@ -46,14 +47,13 @@ def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        for _ in range(num_coarse_steps):
-            sim.step()
-        # force execution
-        sim.export_macroscopic()
+        sim.run(num_coarse_steps)  # one dispatch
+        # force execution with a scalar fetch
+        float(sim.f_0[0][0].sum())
         best = min(best, time.perf_counter() - t0)
 
     mlups = updates_per_coarse * num_coarse_steps / best / 1e6
-    print(f"multires {L} levels, coarse {n}^3: {mlups:.1f} MLUPS "
+    print(f"multires {L} levels, coarse {n}^3, {strategy.value}: {mlups:.1f} MLUPS "
           f"({updates_per_coarse / 1e6:.2f}M updates/coarse step)")
     return mlups
 
@@ -64,4 +64,5 @@ if __name__ == "__main__":
     parser.add_argument("--levels", type=int, default=2)
     parser.add_argument("--steps", type=int, default=20)
     args = parser.parse_args()
-    run(coarse_edge=args.coarse_edge, levels=args.levels, num_coarse_steps=args.steps)
+    run(coarse_edge=args.coarse_edge, levels=args.levels, num_coarse_steps=args.steps,
+        mres_perf=args.mres_perf_optimization)

@@ -1,0 +1,83 @@
+"""Multires performance tier: the fused Pallas collide kernel per level
+matches the naive jnp tier to f32 roundoff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.conftest import init_env
+from xlb_tpu.velocity_set import D3Q19
+from xlb_tpu.grid import grid_factory
+from xlb_tpu.grid.multires import MultiresGrid
+from xlb_tpu.models.multires import MultiresIncompressibleNavierStokesStepper
+from xlb_tpu.geometry import sphere_triangles
+from xlb_tpu.boundary import EquilibriumBC, FullwayBounceBackBC, HalfwayBounceBackBC
+from xlb_tpu.mres_perf_optimization_type import MresPerfOptimizationType
+
+
+def _scene(collision="BGK"):
+    grid = MultiresGrid((16, 16, 16), boxes=[((4, 4, 4), (8, 8, 8))])
+    helper = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    box = helper.bounding_box_indices()
+    box_ne = helper.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1), axis=1
+    )
+    tris = sphere_triangles(center=(8.0, 8.0, 8.0), radius=2.0, subdivisions=2)
+    bcs = {
+        0: [HalfwayBounceBackBC(mesh_vertices=tris)],
+        1: [
+            FullwayBounceBackBC(indices=walls.tolist()),
+            EquilibriumBC(rho=1.0, u=(0.03, 0.0, 0.0), indices=box_ne["top"]),
+        ],
+    }
+    return grid, bcs
+
+
+@pytest.mark.parametrize("strategy", [MresPerfOptimizationType.FUSION_AT_FINEST, MresPerfOptimizationType.FUSION_AT_FINEST_SFV_ALL])
+@pytest.mark.parametrize("collision", ["BGK", "KBC"])
+def test_fused_multires_matches_naive(strategy, collision):
+    from xlb_tpu.velocity_set import D3Q27
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    vs_cls = D3Q27 if collision == "KBC" else D3Q19
+    init_env(vs_cls)
+    grid, bcs = _scene(collision)
+    naive = MultiresIncompressibleNavierStokesStepper(grid, boundary_conditions=bcs, collision_type=collision)
+    fs, _, bms, mms = naive.prepare_fields()
+
+    boundary_condition_registry.reset()
+    grid2, bcs2 = _scene(collision)
+    fused = MultiresIncompressibleNavierStokesStepper(
+        grid2, boundary_conditions=bcs2, collision_type=collision, mres_perf_opt=strategy
+    )
+    assert fused._cts is not None, "strategy did not build the fused finest (CTS) kernel"
+    if strategy == MresPerfOptimizationType.FUSION_AT_FINEST_SFV_ALL:
+        assert any(k is not None for k in fused._fused_collide), "SFV_ALL selected no fused-collide level"
+    fs2, _, bms2, mms2 = fused.prepare_fields()
+
+    a, b = list(fs), list(fs2)
+    for _ in range(2):
+        a = naive(a, bms, mms, 1.5)
+        b = fused(b, bms2, mms2, 1.5)
+    for la, lb in zip(a, b):
+        diff = float(jnp.abs(la.astype(jnp.float32) - lb.astype(jnp.float32)).max())
+        assert diff < 5e-6, f"fused multires collide diverges from naive by {diff}"
+
+
+def test_fused_multires_falls_back_on_staging_bcs():
+    """A level with an aux-staging BC (extrapolation outflow) silently uses
+    the jnp tier rather than mis-fusing."""
+    from xlb_tpu.boundary import ExtrapolationOutflowBC
+
+    init_env(D3Q19)
+    grid = MultiresGrid((16, 16, 16), boxes=[((4, 4, 4), (8, 8, 8))])
+    helper = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    box_ne = helper.bounding_box_indices(remove_edges=True)
+    bcs = {1: [ExtrapolationOutflowBC(indices=box_ne["right"])]}
+    stepper = MultiresIncompressibleNavierStokesStepper(
+        grid, boundary_conditions=bcs, mres_perf_opt=MresPerfOptimizationType.FUSION_AT_FINEST_SFV_ALL
+    )
+    assert stepper._cts is not None  # finest has no staging BC
+    assert stepper._fused_collide[1] is None  # outflow level falls back

@@ -14,11 +14,11 @@ from xlb_tpu.ops.macroscopic import Macroscopic
 
 
 class MultiresSimulationManager:
-    def __init__(self, grid, omega_finest, boundary_conditions=None, collision_type="BGK", initializer=None):
+    def __init__(self, grid, omega_finest, boundary_conditions=None, collision_type="BGK", initializer=None, mres_perf_opt=None):
         self.grid = grid
         self.omega = float(omega_finest)
         self.stepper = MultiresIncompressibleNavierStokesStepper(
-            grid, boundary_conditions=boundary_conditions, collision_type=collision_type
+            grid, boundary_conditions=boundary_conditions, collision_type=collision_type, mres_perf_opt=mres_perf_opt
         )
         self.f_0, self.f_1, self.bc_mask, self.missing_mask = self.stepper.prepare_fields()
         if initializer is not None:
@@ -35,8 +35,24 @@ class MultiresSimulationManager:
         self.iteration_idx += 1
         return self.f_0
 
-    def run(self, num_coarse_steps):
-        for _ in range(num_coarse_steps):
+    def run(self, num_coarse_steps, window=None):
+        """Advance ``num_coarse_steps``; steps are grouped into jitted
+        ``lax.fori_loop`` windows (one device dispatch per window -- vital
+        through high-latency links)."""
+        window = num_coarse_steps if window is None else min(window, num_coarse_steps)
+        if getattr(self, "_window_n", None) != window:
+            self._window_n = window
+            self._jitted_window = jax.jit(
+                lambda fs: jax.lax.fori_loop(
+                    0, window, lambda i, fs: self.stepper(fs, self.bc_mask, self.missing_mask, self.omega), fs
+                )
+            )
+        done = 0
+        while done + window <= num_coarse_steps:
+            self.f_0 = self._jitted_window(self.f_0)
+            self.iteration_idx += window
+            done += window
+        for _ in range(num_coarse_steps - done):
             self.step()
         return self.f_0
 

@@ -404,6 +404,9 @@ def _build_kernel_body(
         compute_from_ext(read_ext, mask_ref[...], out, omega)
 
     kernel.compute_from_ext = compute_from_ext
+    kernel.moments = moments
+    kernel.equilibrium = equilibrium
+    kernel.collide = collide
     return kernel
 
 

@@ -1,0 +1,232 @@
+"""Fused collide-THEN-stream Pallas kernel (the multires finest-level step).
+
+The multires stepper advances each level as collide -> (collision BCs) ->
+stream -> (streaming BCs), with the finest level streaming through a ghost
+ring exploded from the parent's post-collision state.  This kernel runs
+that sub-step in one HBM round trip, against the jnp tier's ~6-8 passes
+(collide intermediates, ghost merge, stream copy, BC selects).
+
+With ``pair=True`` it advances BOTH finest sub-steps of a coarse step in
+one pass (they share the same ghost ring -- zeroth-order-in-time coupling,
+like the reference): sub-step A runs on a one-cell-extended region into a
+VMEM intermediate (cast to the storage dtype, so the result is
+bit-compatible with two single passes), sub-step B shrinks to the core
+tile.  The block-mapped halo fetch already over-fetches depth-2 halos, so
+the pair halves HBM traffic per sub-step at ~20% extra compute.
+
+Design notes:
+
+- The level state is a ghost-EXTENDED array (q, Xe, Ye, Ze) whose ring
+  holds parent-exploded post-collision values.  Mask ring cells carry
+  cell-type 254 (packed id 30): the kernel collides everything, then
+  restores ring cells to their input values -- this also keeps the ring
+  values intact through sub-step A of a pair, so sub-step B reads the same
+  ghosts, exactly like the jnp tier.
+- Any Ze works (z pulls are in-register lane rolls; ring cells make the
+  wrap harmless).  Supported epilogues: fullway (collision step),
+  equilibrium / do-nothing / halfway (streaming step), exact-difference
+  forcing; other BCs fall back to the jnp tier (gated by the stepper).
+
+TPU counterpart of the reference's fused multires kernels
+(nse_multires_stepper.py:583-1110, finest_fused_pull :933).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from xlb_tpu.kernels.collide_stream import _build_kernel_body, _roll_lane, kernel_bc_id
+
+SUPPORTED_KINDS = {"fullway", "equilibrium", "do_nothing", "halfway"}
+
+
+def build_fused_collide_then_stream(
+    velocity_set,
+    ext_shape,
+    collision="BGK",
+    bc_specs=(),
+    compute_dtype=jnp.float32,
+    store_dtype=jnp.float32,
+    tile=(8, 8),
+    interpret=False,
+    force_vector=None,
+    pair=False,
+):
+    """Build ``step(f_ext, mask_ext, omega) -> f_ext_new`` over the
+    ghost-extended level array, advancing one sub-step (or two with
+    ``pair=True``).  Ring outputs are garbage; the stepper slices the
+    interior / refreshes the ring."""
+    vs = velocity_set
+    q, d = vs.q, vs.d
+    assert d == 3, "multires CTS kernel is 3-D (2-D multires runs on the jnp tier)"
+    Xe, Ye, Ze = ext_shape
+    TX, TY = tile
+    W = 2 if pair else 1  # assembled halo width
+    assert Xe % TX == 0 and Ye % TY == 0, f"tile {tile} must divide extended shape {ext_shape[:2]}"
+    assert TX % W == 0 and TY >= W
+    nX, nY = Xe // TX, Ye // TY
+    c = vs._c
+    opp = vs._opp_indices
+    cdt = compute_dtype
+    for spec in bc_specs:
+        if spec["kind"] not in SUPPORTED_KINDS:
+            raise NotImplementedError(f"BC kind {spec['kind']!r} unsupported by the multires CTS kernel")
+
+    body = _build_kernel_body(vs, collision, [], compute_dtype, store_dtype, None, None, force_vector=None)
+    moments, equilibrium, collide = body.moments, body.equilibrium, body.collide
+
+    def substep(f_pre, packed_e, omega):
+        """One collide+stream sub-step on (Ex, Ey, Ze) slabs, returning
+        post-stream slabs shrunk by one cell per x/y side."""
+        bc_e = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_e, 27), 31)
+        rho, u = moments(f_pre)
+        feq = equilibrium(rho, u)
+        f_pc = collide(f_pre, feq, omega)
+        if force_vector is not None:
+            u_f = [u[a] + cdt(force_vector[a]) for a in range(d)]
+            feq_f = equilibrium(rho, u_f)
+            f_pc = [f_pc[l] + (feq_f[l] - feq[l]) for l in range(q)]
+        for spec in bc_specs:
+            if spec["step"] != "collision":
+                continue
+            on = bc_e == kernel_bc_id(spec["id"])
+            if spec["kind"] == "fullway":
+                f_pc = [jnp.where(on, f_pre[opp[l]], f_pc[l]) for l in range(q)]
+        # ghost ring (cell-type 254 -> packed 30) keeps its exploded values
+        keep = bc_e == 30
+        f_pc = [jnp.where(keep, f_pre[l], f_pc[l]) for l in range(q)]
+
+        Ex, Ey = f_pre[0].shape[0], f_pre[0].shape[1]
+        f_s = []
+        for l in range(q):
+            cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
+            x0, y0 = 1 - cx, 1 - cy
+            f_s.append(_roll_lane(f_pc[l][x0 : x0 + Ex - 2, y0 : y0 + Ey - 2, :], cz))
+
+        packed = packed_e[1:-1, 1:-1, :]
+        bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
+
+        def missing(l):
+            return jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, l), 1) == 1
+
+        core = (slice(1, Ex - 1), slice(1, Ey - 1), slice(None))
+        for spec in bc_specs:
+            if spec["step"] != "streaming":
+                continue
+            on = bc == kernel_bc_id(spec["id"])
+            kind = spec["kind"]
+            if kind == "equilibrium":
+                feq_p = spec["feq"]
+                f_s = [jnp.where(on, cdt(feq_p[l]), f_s[l]) for l in range(q)]
+            elif kind == "do_nothing":
+                f_s = [jnp.where(on, f_pc[l][core], f_s[l]) for l in range(q)]
+            elif kind == "halfway":
+                mw = spec.get("mw")
+                for l in range(q):
+                    refl = f_pc[opp[l]][core] if mw is None else f_pc[opp[l]][core] + cdt(mw[l])
+                    f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
+        return f_s
+
+    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11,
+               m_center, m_xlo, m_xhi, m_ylo, m_yhi, m_c00, m_c01, m_c10, m_c11,
+               out, ext, mext):
+        omega = cdt(omega_ref[0, 0])
+
+        # ---- assemble W-wide halo slabs: f (compute dtype) + packed mask --
+        ext[:, W : TX + W, W : TY + W, :] = center[...].astype(cdt)
+        ext[:, 0:W, W : TY + W, :] = xlo[...].astype(cdt)
+        ext[:, TX + W : TX + 2 * W, W : TY + W, :] = xhi[...].astype(cdt)
+        ext[:, W : TX + W, 0:W, :] = ylo[:, :, TY - W : TY, :].astype(cdt)
+        ext[:, W : TX + W, TY + W : TY + 2 * W, :] = yhi[:, :, 0:W, :].astype(cdt)
+        ext[:, 0:W, 0:W, :] = c00[:, :, TY - W : TY, :].astype(cdt)
+        ext[:, 0:W, TY + W : TY + 2 * W, :] = c01[:, :, 0:W, :].astype(cdt)
+        ext[:, TX + W : TX + 2 * W, 0:W, :] = c10[:, :, TY - W : TY, :].astype(cdt)
+        ext[:, TX + W : TX + 2 * W, TY + W : TY + 2 * W, :] = c11[:, :, 0:W, :].astype(cdt)
+        mext[W : TX + W, W : TY + W, :] = m_center[...]
+        mext[0:W, W : TY + W, :] = m_xlo[...]
+        mext[TX + W : TX + 2 * W, W : TY + W, :] = m_xhi[...]
+        mext[W : TX + W, 0:W, :] = m_ylo[:, TY - W : TY, :]
+        mext[W : TX + W, TY + W : TY + 2 * W, :] = m_yhi[:, 0:W, :]
+        mext[0:W, 0:W, :] = m_c00[:, TY - W : TY, :]
+        mext[0:W, TY + W : TY + 2 * W, :] = m_c01[:, 0:W, :]
+        mext[TX + W : TX + 2 * W, 0:W, :] = m_c10[:, TY - W : TY, :]
+        mext[TX + W : TX + 2 * W, TY + W : TY + 2 * W, :] = m_c11[:, 0:W, :]
+
+        f_pre = [ext[l] for l in range(q)]
+        packed_e = mext[...]
+
+        f_s = substep(f_pre, packed_e, omega)
+        if pair:
+            # storage-dtype round trip keeps bit-compatibility with two
+            # single passes.  Ring cells of the intermediate must carry the
+            # SAME ghost values (both sub-steps share one explosion): A's
+            # post-stream ring outputs are garbage, so restore them from
+            # the assembled input before sub-step B.
+            packed_mid = packed_e[1:-1, 1:-1, :]
+            keep_mid = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_mid, 27), 31) == 30
+            f_mid = [
+                jnp.where(keep_mid, f_pre[l][1:-1, 1:-1, :], v.astype(store_dtype).astype(cdt))
+                for l, v in enumerate(f_s)
+            ]
+            f_s = substep(f_mid, packed_mid, omega)
+
+        for l in range(q):
+            out[l] = f_s[l].astype(store_dtype)
+
+    def fmap(dx, dy, bx, by):
+        def index_map(i, j):
+            return (0, jax.lax.rem(dx(i) + Xe // bx, Xe // bx), jax.lax.rem(dy(j) + Ye // by, Ye // by), 0)
+
+        return index_map
+
+    def mmap(dx, dy, bx, by):
+        def index_map(i, j):
+            return (jax.lax.rem(dx(i) + Xe // bx, Xe // bx), jax.lax.rem(dy(j) + Ye // by, Ye // by), 0)
+
+        return index_map
+
+    rx = TX // W  # x-strip offsets in W-block units
+
+    def nine(spec_fn, with_q):
+        bq = (q,) if with_q else ()
+        return [
+            spec_fn((*bq, TX, TY, Ze), lambda i: i, lambda j: j, TX, TY),  # center
+            spec_fn((*bq, W, TY, Ze), lambda i: i * rx - 1, lambda j: j, W, TY),  # x-lo
+            spec_fn((*bq, W, TY, Ze), lambda i: (i + 1) * rx, lambda j: j, W, TY),  # x-hi
+            spec_fn((*bq, TX, TY, Ze), lambda i: i, lambda j: j - 1, TX, TY),  # y-lo block
+            spec_fn((*bq, TX, TY, Ze), lambda i: i, lambda j: j + 1, TX, TY),  # y-hi block
+            spec_fn((*bq, W, TY, Ze), lambda i: i * rx - 1, lambda j: j - 1, W, TY),
+            spec_fn((*bq, W, TY, Ze), lambda i: i * rx - 1, lambda j: j + 1, W, TY),
+            spec_fn((*bq, W, TY, Ze), lambda i: (i + 1) * rx, lambda j: j - 1, W, TY),
+            spec_fn((*bq, W, TY, Ze), lambda i: (i + 1) * rx, lambda j: j + 1, W, TY),
+        ]
+
+    f_specs = nine(lambda blk, dx, dy, bx, by: pl.BlockSpec(blk, fmap(dx, dy, bx, by)), with_q=True)
+    m_specs = nine(lambda blk, dx, dy, bx, by: pl.BlockSpec(blk, mmap(dx, dy, bx, by)), with_q=False)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nX, nY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + f_specs + m_specs,
+        out_specs=pl.BlockSpec((q, TX, TY, Ze), lambda i, j: (0, i, j, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((q, TX + 2 * W, TY + 2 * W, Ze), compute_dtype),
+            pltpu.VMEM((TX + 2 * W, TY + 2 * W, Ze), jnp.int32),
+        ],
+    )
+
+    fused = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, Xe, Ye, Ze), store_dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def step(f_ext, mask_ext, omega):
+        omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        return fused(omega_arr, *([f_ext] * 9), *([mask_ext] * 9))
+
+    return step

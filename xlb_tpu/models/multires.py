@@ -74,6 +74,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         grid,
         boundary_conditions=None,
         collision_type="BGK",
+        mres_perf_opt=None,
         velocity_set=None,
         precision_policy=None,
         compute_backend=None,
@@ -97,15 +98,107 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             if lvl.origin_in_parent is not None:
                 self._ghost_gather[l] = self._build_ghost_gather(l)
 
+        # ---- performance strategy (reference MresPerfOptimizationType /
+        # nse_multires_stepper.py:583-1110).  FUSION_AT_FINEST routes the
+        # finest level's collide phase through the fused Pallas collide
+        # kernel (one HBM round trip instead of ~q XLA passes); the SFV
+        # variants extend it to every level -- the Neon sparse-fluid-voxel
+        # fast paths themselves are subsumed by the dense design.
+        from xlb_tpu.mres_perf_optimization_type import MresPerfOptimizationType
+
+        if mres_perf_opt is None:
+            mres_perf_opt = MresPerfOptimizationType.NAIVE_COLLIDE_STREAM
+        self.mres_perf_opt = mres_perf_opt
+        self._fused_collide = [None] * grid.num_levels
+        self._cts = None  # fused collide-then-stream kernel for the finest level
+        self._cts_ring = 1
+        if mres_perf_opt == MresPerfOptimizationType.FUSION_AT_FINEST:
+            fused_levels = ()
+            self._build_cts_finest()
+        elif mres_perf_opt in (
+            MresPerfOptimizationType.FUSION_AT_FINEST_SFV,
+            MresPerfOptimizationType.FUSION_AT_FINEST_SFV_ALL,
+        ):
+            fused_levels = tuple(range(1, grid.num_levels))
+            self._build_cts_finest()
+        else:
+            fused_levels = ()
+        if fused_levels:
+            self._build_fused_collides(fused_levels)
+
+    def _build_cts_finest(self):
+        """The finest level has no children, so its whole sub-step (collide
+        -> BCs -> ghost-ring stream -> BCs) fuses into one Pallas pass
+        (kernels/collide_then_stream.py).  Falls back to the jnp tier when
+        the level shape or BC list doesn't qualify."""
+        import jax as _jax
+
+        from xlb_tpu.kernels.fused_step import bc_to_spec, stepper_force_vector  # noqa: F401
+        from xlb_tpu.kernels.collide_then_stream import build_fused_collide_then_stream
+
+        if self.grid.dim != 3 or self.grid.num_levels < 2:
+            return
+        shape = self.grid.levels[0].shape
+        X, Y, _ = shape
+        if X % 2 or Y % 2 or (X - Y) % 8:
+            return  # no common ring width aligns both extents to 8
+        g = ((8 - X % 8) % 8) // 2
+        if g < 2:
+            g += 4  # the pair kernel's depth-2 pulls must stay inside the ring
+        ext_shape = tuple(s + 2 * g for s in shape)
+        if ext_shape[0] % 8 or ext_shape[1] % 8:
+            return
+        try:
+            specs = [bc_to_spec(bc, self.velocity_set) for bc in self.boundary_conditions.get(0, [])]
+            self._cts = build_fused_collide_then_stream(
+                self.velocity_set,
+                ext_shape,
+                collision=self.collision_type,
+                bc_specs=specs,
+                compute_dtype=self.precision_policy.compute_dtype,
+                store_dtype=self.precision_policy.store_dtype,
+                tile=(8, 8),
+                interpret=_jax.default_backend() == "cpu",
+                pair=True,
+            )
+            self._cts_ring = g
+        except NotImplementedError:
+            self._cts = None
+
+    def _build_fused_collides(self, levels):
+        import jax as _jax
+
+        from xlb_tpu.kernels.fused_step import bc_to_spec
+        from xlb_tpu.kernels.collide_only import build_level_collide
+
+        cdt = self.precision_policy.compute_dtype
+        interpret = _jax.default_backend() == "cpu"
+        for l in levels:
+            try:
+                specs = [bc_to_spec(bc, self.velocity_set) for bc in self.boundary_conditions.get(l, [])]
+                self._fused_collide[l] = build_level_collide(
+                    self.velocity_set,
+                    self.grid.levels[l].shape,
+                    collision=self.collision_type,
+                    bc_specs=specs,
+                    compute_dtype=cdt,
+                    store_dtype=cdt,
+                    interpret=interpret,
+                )
+            except NotImplementedError:
+                # unsupported BC (aux staging / mesh-data kinds): this
+                # level stays on the jnp tier
+                self._fused_collide[l] = None
+
     # ------------------------------------------------------------------
-    def _build_ghost_gather(self, level):
-        """Static index maps: every cell of the fine level's 1-ghost-extended
+    def _build_ghost_gather(self, level, ring=1):
+        """Static index maps: every cell of the fine level's ring-extended
         box -> the parent-level cell containing it."""
         lvl = self.grid.levels[level]
         parent_shape = self.grid.levels[level + 1].shape
         maps = []
         for d in range(self.grid.dim):
-            fine_coords = np.arange(-1, lvl.shape[d] + 1)  # extended fine indices
+            fine_coords = np.arange(-ring, lvl.shape[d] + ring)  # extended fine indices
             parent_idx = lvl.origin_in_parent[d] + np.floor((fine_coords + 0.5) / 2.0).astype(np.int64)
             parent_idx = np.clip(parent_idx, 0, parent_shape[d] - 1)
             maps.append(parent_idx)
@@ -151,6 +244,18 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         feq = self.equilibrium(rho, u)
         return self.collision(f, feq, omega)
 
+    def _collide_with_bcs(self, level, f, bm, mm, omega):
+        """Collision phase of one sub-step: fused Pallas kernel when the
+        strategy selects this level (collision-step BCs applied in-kernel),
+        jnp tier otherwise."""
+        fused = self._fused_collide[level]
+        if fused is not None:
+            from xlb_tpu.kernels.fused_step import pack_masks
+
+            return fused(f, pack_masks(bm, mm), omega)
+        f_pc = self._collide(f, omega)
+        return self._apply_bcs(ImplementationStep.COLLISION, level, f, f_pc, bm, mm)
+
     def _stream_with_ghosts(self, f_post_collision, ghost_ext, level):
         """Pull-stream a fine level using a ghost-extended array."""
         interior = (slice(None),) + (slice(1, -1),) * self.grid.dim
@@ -158,11 +263,21 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         streamed = stream_pull(ext, self.velocity_set._c)
         return streamed[interior]
 
-    def _explode(self, f_coarse, level):
+    def _explode(self, f_coarse, level, ring=1):
         """Gather the parent's populations onto the fine level's extended box
         (piecewise-constant upsampling) as a separable per-axis take."""
+        if ring == 1:
+            maps = self._ghost_gather[level]
+        else:
+            key = (level, ring)
+            cache = getattr(self, "_ghost_gather_cache", None)
+            if cache is None:
+                cache = self._ghost_gather_cache = {}
+            if key not in cache:
+                cache[key] = self._build_ghost_gather(level, ring)
+            maps = cache[key]
         out = f_coarse
-        for axis, g in enumerate(self._ghost_gather[level]):
+        for axis, g in enumerate(maps):
             out = jnp.take(out, jnp.asarray(g), axis=axis + 1)
         return out
 
@@ -206,13 +321,11 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         f = pp.cast_to_compute(fs[level])
 
-        f_pc = self._collide(f, omega)
-        f_pc = self._apply_bcs(ImplementationStep.COLLISION, level, f, f_pc, bms[level], mms[level])
+        f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
 
         if level > 0:
             # two fine sub-steps against this level's post-collision state
-            ghost_ext = self._explode(f_pc, level - 1)
-            fs = self._advance_fine_pair(level - 1, fs, bms, mms, omega_finest, ghost_ext, probe)
+            fs = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe)
             # pull coalesced fine state into the refined region before streaming
             f_pc = self._coalesce(f_pc, pp.cast_to_compute(fs[level - 1]), level - 1)
 
@@ -224,16 +337,75 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         fs[level] = pp.cast_to_store(f_ps)
         return fs
 
+    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe):
+        """Run the two sub-steps of ``level - 1`` against this level's
+        post-collision state, through the fused finest path when active
+        (the force probe needs the jnp path's intermediate states)."""
+        child = level - 1
+        if child == 0 and self._cts is not None and probe is None:
+            return self._cts_fine_pair(fs, bms, mms, omega_finest, f_pc)
+        ghost_ext = self._explode(f_pc, child)
+        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe)
+
+    def _explode_ring_faces(self, parent_pc, level, ring, store_dtype):
+        """Gather only the INNERMOST ghost-ring layer (the only ring cells
+        interior pulls ever read) as 6 depth-1 face slabs; returns
+        [(dus_index, slab)] ready for dynamic_update_slice into the
+        ring-extended array."""
+        key = (level, ring)
+        cache = getattr(self, "_ghost_gather_cache", None)
+        if cache is None:
+            cache = self._ghost_gather_cache = {}
+        if key not in cache:
+            cache[key] = self._build_ghost_gather(level, ring)
+        maps = cache[key]
+        d = self.grid.dim
+        faces = []
+        for axis in range(d):
+            ext_len = len(maps[axis])
+            for pos in (ring - 1, ext_len - ring):
+                # thin take first so the remaining gathers run on the slab
+                slab = jnp.take(parent_pc, jnp.asarray(maps[axis][pos : pos + 1]), axis=axis + 1)
+                for a in range(d):
+                    if a != axis:
+                        slab = jnp.take(slab, jnp.asarray(maps[a]), axis=a + 1)
+                idx = [0] * (d + 1)
+                idx[axis + 1] = pos
+                faces.append((tuple(idx), slab.astype(store_dtype)))
+        return faces
+
+    def _cts_fine_pair(self, fs, bms, mms, omega_finest, parent_pc):
+        """Both finest-level sub-steps of a coarse step through ONE pass of
+        the fused collide-then-stream pair kernel: the ring-extended state
+        carries parent ghosts (mask ring = cell-type 254 -> the kernel's
+        keep-out), shared by both sub-steps (zeroth-order-in-time coupling,
+        as in the jnp tier).  Only the innermost ring layer is gathered."""
+        from xlb_tpu.kernels.fused_step import pack_masks
+
+        pp = self.precision_policy
+        g = self._cts_ring
+        omega = pp.compute_dtype(compute_omega(omega_finest, 0))
+        ring_val = int(np.int64(30 << 27) - (1 << 32))  # id 30 in bits 27..31 of an int32
+        packed = pack_masks(bms[0], mms[0])
+        mask_ext = jnp.pad(packed, g, constant_values=ring_val)
+        pad_width = ((0, 0),) + ((g, g),) * self.grid.dim
+        interior = (slice(None),) + (slice(g, -g),) * self.grid.dim
+        ext = jnp.pad(fs[0], pad_width)
+        for idx, slab in self._explode_ring_faces(parent_pc, 0, g, pp.store_dtype):
+            ext = jax.lax.dynamic_update_slice(ext, slab, idx)
+        ext = self._cts(ext, mask_ext, omega)
+        fs = list(fs)
+        fs[0] = ext[interior]
+        return fs
+
     def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None):
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         for _ in range(2):
             f = pp.cast_to_compute(fs[level])
-            f_pc = self._collide(f, omega)
-            f_pc = self._apply_bcs(ImplementationStep.COLLISION, level, f, f_pc, bms[level], mms[level])
+            f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
             if level > 0:
-                child_ghost = self._explode(f_pc, level - 1)
-                fs = self._advance_fine_pair(level - 1, fs, bms, mms, omega_finest, child_ghost, probe)
+                fs = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe)
                 f_pc = self._coalesce(f_pc, pp.cast_to_compute(fs[level - 1]), level - 1)
             f_ps = self._stream_with_ghosts(f_pc, ghost_ext, level)
             f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])

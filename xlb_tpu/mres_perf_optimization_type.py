@@ -1,10 +1,20 @@
 """Multires kernel-fusion strategy enum + CLI helper.
 
 API parity with reference xlb/mres_perf_optimization_type.py:12-83.  The
-strategies select how much of the per-level work is fused; in this dense
-TPU implementation XLA fuses each level's collide+stream automatically, so
-the enum primarily preserves the reference CLI surface (the SFV fast-path
-split is a Neon sparse-grid concern with no dense analogue).
+strategies select how much of the per-level work runs through the fused
+Pallas collide kernel (kernels/collide_only.py, one HBM round trip instead
+of ~q XLA passes for the moment-coupled collision):
+
+- NAIVE_COLLIDE_STREAM: pure jnp tier on every level.
+- FUSION_AT_FINEST: fused collide at the finest level (where most of the
+  sub-steps happen).
+- FUSION_AT_FINEST_SFV / _SFV_ALL: fused collide at every level.  The
+  reference's SFV fast paths skip sparse-voxel bookkeeping per cell class
+  (nse_multires_stepper.py:626-1110); the dense design has no such
+  bookkeeping, so both map to all-level fusion.
+
+Levels whose BC list needs non-elementwise collision-time work
+(aux-staging outflows) fall back to the jnp tier automatically.
 """
 
 import argparse
