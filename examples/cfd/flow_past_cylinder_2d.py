@@ -22,8 +22,9 @@ from xlb_tpu.ops import Macroscopic, MomentumTransfer
 from xlb_tpu.utils import omega_from_reynolds
 
 
-def run(nx=320, ny=128, re=100.0, u_in=0.04, num_steps=8000, probe_every=500, bc="regularized"):
-    xlb.init(velocity_set=D2Q9(), default_backend=xlb.ComputeBackend.JAX,
+def run(nx=320, ny=128, re=100.0, u_in=0.04, num_steps=8000, probe_every=500, bc="regularized", backend="jax"):
+    xlb.init(velocity_set=D2Q9(),
+             default_backend=xlb.ComputeBackend.PALLAS if backend == "pallas" else xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, ny))
     box = grid.bounding_box_indices()
@@ -82,5 +83,6 @@ if __name__ == "__main__":
     p.add_argument("--re", type=float, default=100.0)
     p.add_argument("--steps", type=int, default=8000)
     p.add_argument("--bc", choices=["regularized", "zouhe"], default="regularized")
+    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
     args = p.parse_args()
-    run(nx=args.nx, ny=args.ny, re=args.re, num_steps=args.steps, bc=args.bc)
+    run(nx=args.nx, ny=args.ny, re=args.re, num_steps=args.steps, bc=args.bc, backend=args.backend)

@@ -21,9 +21,10 @@ from xlb_tpu.ops import Macroscopic
 from xlb_tpu.utils import omega_from_reynolds
 
 
-def run(nx=96, nyz=48, re=100.0, u_in=0.03, rot_rate=0.005, num_steps=600, collision="BGK"):
+def run(nx=96, nyz=48, re=100.0, u_in=0.03, rot_rate=0.005, num_steps=600, collision="BGK", backend="jax"):
     vset = D3Q27() if collision == "KBC" else D3Q19()
-    xlb.init(velocity_set=vset, default_backend=xlb.ComputeBackend.JAX,
+    xlb.init(velocity_set=vset,
+             default_backend=xlb.ComputeBackend.PALLAS if backend == "pallas" else xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, nyz, nyz))
     box = grid.bounding_box_indices()
@@ -56,12 +57,15 @@ def run(nx=96, nyz=48, re=100.0, u_in=0.03, rot_rate=0.005, num_steps=600, colli
 
     rho, u = Macroscopic()(f_0)
     u = np.asarray(u)
+    # report over fluid voxels only (u is 0/0 inside the solid sphere)
+    fluid = np.asarray(bc_mask[0]) != 255
+    u_fluid = np.where(fluid[None], u, 0.0)
     # rotation breaks top/bottom symmetry: compare u_x above/below the sphere
     iy_hi, iy_lo = int(center[1] + radius + 2), int(center[1] - radius - 2)
     ix = int(center[0])
     asym = u[0, ix, iy_hi, nyz // 2] - u[0, ix, iy_lo, nyz // 2]
-    print(f"rotating sphere: max|u|={np.abs(u).max():.4f}, u_x asymmetry (Magnus) = {asym:+.5f}, "
-          f"finite={np.isfinite(u).all()}")
+    print(f"rotating sphere [{backend}]: max|u| (fluid)={np.abs(u_fluid).max():.4f}, "
+          f"u_x asymmetry (Magnus) = {asym:+.5f}, finite={np.isfinite(u_fluid).all()}")
     return asym
 
 
@@ -71,5 +75,6 @@ if __name__ == "__main__":
     p.add_argument("--nyz", type=int, default=48)
     p.add_argument("--steps", type=int, default=600)
     p.add_argument("--collision", default="BGK", choices=["BGK", "KBC"])
+    p.add_argument("--backend", default="jax", choices=["jax", "pallas"])
     args = p.parse_args()
-    run(nx=args.nx, nyz=args.nyz, num_steps=args.steps, collision=args.collision)
+    run(nx=args.nx, nyz=args.nyz, num_steps=args.steps, collision=args.collision, backend=args.backend)

@@ -62,6 +62,20 @@ def test_rotating_sphere_3d():
     assert np.isfinite(asym)
 
 
+def test_rotating_sphere_3d_pallas():
+    """Spatial moving-wall profile through the fused (PALLAS) tier."""
+    asym = _load("cfd/rotating_sphere_3d.py").run(nx=32, nyz=16, num_steps=60, backend="pallas")
+    assert np.isfinite(asym)
+
+
+def test_flow_past_cylinder_2d_pallas():
+    """Regularized in/out BCs through the fused 2D (PALLAS) tier."""
+    drags, uy = _load("cfd/flow_past_cylinder_2d.py").run(
+        nx=96, ny=32, re=50.0, num_steps=400, probe_every=200, backend="pallas"
+    )
+    assert all(np.isfinite(d) for d in drags)
+
+
 def test_flow_past_cylinder_2d():
     drags, uy = _load("cfd/flow_past_cylinder_2d.py").run(nx=96, ny=32, re=50.0, num_steps=400, probe_every=200)
     assert np.isfinite(drags).all() and np.isfinite(uy).all()

@@ -69,10 +69,16 @@ def _roll_lane(x, shift):
     return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
 
 
+def spec_uses_aux(spec):
+    """True when a BC spec needs the per-voxel prescribed-velocity field."""
+    return spec.get("mw") == "aux" or (isinstance(spec.get("value"), str) and spec["value"] == "aux")
+
+
 def _build_kernel_body(
     vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY,
     smagorinsky_coef=0.17, shifted=False, has_solids=True, force_vector=None,
 ):
+    use_aux = any(spec_uses_aux(s) for s in bc_specs)
     """Returns the Pallas kernel body closure for a DdQq fused step.
 
     ``shifted=True`` stores populations in deviation form g_l = f_l - w_l
@@ -195,10 +201,11 @@ def _build_kernel_body(
             return [f_s[l] - beta * (2.0 * ds[l] + gamma * dh[l]) for l in range(q)]
         raise ValueError(f"unsupported collision {collision!r} in fused kernel")
 
-    def _zouhe_epilogue(spec, on, missing, f_s):
+    def _zouhe_epilogue(spec, on, missing, f_s, aux=None):
         """Zou-He / regularized closure (local math only; mirrors
         boundary/bc_zouhe.py + bc_regularized.py).  ``spec`` carries the
-        static prescribed velocity vector or density."""
+        static prescribed velocity vector or density, or ``"aux"`` to read
+        a per-voxel prescribed velocity from the aux field."""
         miss_f = [missing(l).astype(cdt) for l in range(q)]
         known_f = [miss_f[opp[l]] for l in range(q)]
         middle_f = [1.0 - jnp.maximum(miss_f[l], known_f[l]) for l in range(q)]
@@ -221,17 +228,25 @@ def _build_kernel_body(
             normals.append(-acc if acc is not None else jnp.zeros_like(fsum))
 
         if spec["bc_type"] == "velocity":
-            vel_const = spec["value"]  # static (d,) numpy
-            unormal = None
-            for a in range(d):
-                if vel_const[a] == 0.0:
-                    continue
-                t = normals[a] * cdt(vel_const[a])
-                unormal = t if unormal is None else unormal + t
-            if unormal is None:
-                unormal = jnp.zeros_like(fsum)
-            rho = fsum / (1.0 + unormal)
-            u = [jnp.full_like(fsum, cdt(vel_const[a])) for a in range(d)]
+            if isinstance(spec["value"], str) and spec["value"] == "aux":  # per-voxel prescribed velocity
+                u = [aux[a] for a in range(d)]
+                unormal = None
+                for a in range(d):
+                    t = normals[a] * u[a]
+                    unormal = t if unormal is None else unormal + t
+                rho = fsum / (1.0 + unormal)
+            else:
+                vel_const = spec["value"]  # static (d,) numpy
+                unormal = None
+                for a in range(d):
+                    if vel_const[a] == 0.0:
+                        continue
+                    t = normals[a] * cdt(vel_const[a])
+                    unormal = t if unormal is None else unormal + t
+                if unormal is None:
+                    unormal = jnp.zeros_like(fsum)
+                rho = fsum / (1.0 + unormal)
+                u = [jnp.full_like(fsum, cdt(vel_const[a])) for a in range(d)]
         else:  # pressure
             rho = jnp.full_like(fsum, cdt(spec["value"]))
             unormal = -1.0 + fsum / rho
@@ -258,12 +273,15 @@ def _build_kernel_body(
 
         return [jnp.where(on, f_bd[l], f_s[l]) for l in range(q)]
 
-    def compute_from_ext(read_ext, packed, out, omega):
+    def compute_from_ext(read_ext, packed, out, omega, aux=None):
         """Shared physics body: ``read_ext(l, x0, y0)`` must return the
         (TX, TY, Z) slab of direction l at halo-tile offset (x0, y0)
         (0 = pulled from -1 side, 1 = centered, 2 = pulled from +1 side).
         ``packed`` is the int32 mask (missing bits 0..q-1, bc id bits
-        27..31, see ``pack_masks``)."""
+        27..31, see ``pack_masks``).  ``aux``, when given, is the (d, ...)
+        per-voxel prescribed-velocity field (compute dtype) used by BC
+        specs flagged spatial -- the TPU analogue of the reference's
+        aux-data slots (helper_functions_bc.py:371-501)."""
         bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
         # ---- pull streaming: static slice + lane roll per direction ------
         # 3D: x/y pulls from the halo tile, z via lane roll.
@@ -304,10 +322,23 @@ def _build_kernel_body(
             elif kind == "halfway":
                 mw = spec.get("mw")
                 for l in range(q):
-                    refl = f_pre(opp[l]) if mw is None else f_pre(opp[l]) + cdt(mw[l])
+                    if isinstance(mw, str) and mw == "aux":
+                        # spatial moving wall: 6 w_l (c_l . u_wall(x))
+                        cu = None
+                        for a in range(d):
+                            ca = c[a, l]
+                            if ca == 0:
+                                continue
+                            t = aux[a] if ca == 1 else -aux[a]
+                            cu = t if cu is None else cu + t
+                        refl = f_pre(opp[l]) if cu is None else f_pre(opp[l]) + cdt(6.0 * w[l]) * cu
+                    elif mw is None:
+                        refl = f_pre(opp[l])
+                    else:
+                        refl = f_pre(opp[l]) + cdt(mw[l])
                     f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
             elif kind in ("zouhe", "regularized"):
-                f_s = _zouhe_epilogue(spec, on, missing, f_s)
+                f_s = _zouhe_epilogue(spec, on, missing, f_s, aux)
             elif kind == "extrapolation_outflow":
                 # missing dirs take the staged values from the previous
                 # step's outgoing slots (bc_extrapolation_outflow.py:137-147)
@@ -380,7 +411,9 @@ def _build_kernel_body(
                 result = result - cdt(w[l])
             out[l] = result.astype(store_dtype)
 
-    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, mask_ref, out, ext):
+    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, mask_ref, *rest):
+        out, ext = rest[-2:]
+        aux_val = rest[0][...].astype(cdt) if use_aux else None
         omega = cdt(omega_ref[0, 0])
 
         # ---- assemble halo tile in VMEM scratch: (q, TX+2, TY+2, Z) -------
@@ -401,9 +434,10 @@ def _build_kernel_body(
         def read_ext(l, x0, y0):
             return ext[l, x0 : x0 + TX, y0 : y0 + TY, :]
 
-        compute_from_ext(read_ext, mask_ref[...], out, omega)
+        compute_from_ext(read_ext, mask_ref[...], out, omega, aux_val)
 
     kernel.compute_from_ext = compute_from_ext
+    kernel.use_aux = use_aux
     kernel.moments = moments
     kernel.equilibrium = equilibrium
     kernel.collide = collide
@@ -481,10 +515,14 @@ def build_fused_collide_stream_3d(
     spec_mask = pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0))
     out_spec = pl.BlockSpec((q, TX, TY, Z), lambda i, j: (0, i, j, 0))
 
+    d = velocity_set.d
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs_f + [spec_mask]
+    if kernel.use_aux:
+        in_specs.append(pl.BlockSpec((d, TX, TY, Z), lambda i, j: (0, i, j, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nX, nY),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + specs_f + [spec_mask],
+        in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=[pltpu.VMEM((q, TX + 2, TY + 2, Z), compute_dtype)],
     )
@@ -497,8 +535,11 @@ def build_fused_collide_stream_3d(
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(f, mask_i32, omega):
+    def step(f, mask_i32, omega, aux=None):
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        if kernel.use_aux:
+            assert aux is not None, "spatial-BC kernel needs the aux prescribed-velocity field"
+            return fused(omega_arr, f, f, f, f, f, f, f, f, f, mask_i32, aux)
         return fused(omega_arr, f, f, f, f, f, f, f, f, f, mask_i32)
 
     return step

@@ -44,7 +44,11 @@ def build_fused_collide_stream_2d(
     compute_from_ext = body.compute_from_ext
     cdt = compute_dtype
 
-    def kernel(omega_ref, center, xlo, xhi, mask_ref, out, ext):
+    use_aux = body.use_aux
+
+    def kernel(omega_ref, center, xlo, xhi, mask_ref, *rest):
+        out, ext = rest[-2:]
+        aux_val = rest[0][...].astype(cdt) if use_aux else None
         ext[:, 1 : TX + 1, :] = center[...].astype(cdt)
         ext[:, 0:1, :] = xlo[:, 7:8, :].astype(cdt)
         ext[:, TX + 1 : TX + 2, :] = xhi[:, 0:1, :].astype(cdt)
@@ -53,7 +57,7 @@ def build_fused_collide_stream_2d(
             # y0 is always 1 in 2D (y handled by lane rolls)
             return ext[l, x0 : x0 + TX, :]
 
-        compute_from_ext(read_ext, mask_ref[...], out, cdt(omega_ref[0, 0]))
+        compute_from_ext(read_ext, mask_ref[...], out, cdt(omega_ref[0, 0]), aux_val)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -64,7 +68,8 @@ def build_fused_collide_stream_2d(
             pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem(i * r - 1 + nX8, nX8), 0)),
             pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem((i + 1) * r, nX8), 0)),
             pl.BlockSpec((TX, Y), lambda i: (i, 0)),
-        ],
+        ]
+        + ([pl.BlockSpec((velocity_set.d, TX, Y), lambda i: (0, i, 0))] if use_aux else []),
         out_specs=pl.BlockSpec((q, TX, Y), lambda i: (0, i, 0)),
         scratch_shapes=[pltpu.VMEM((q, TX + 2, Y), compute_dtype)],
     )
@@ -77,8 +82,11 @@ def build_fused_collide_stream_2d(
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(f, mask_i32, omega):
+    def step(f, mask_i32, omega, aux=None):
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        if use_aux:
+            assert aux is not None, "spatial-BC kernel needs the aux prescribed-velocity field"
+            return fused(omega_arr, f, f, f, mask_i32, aux)
         return fused(omega_arr, f, f, f, mask_i32)
 
     return step

@@ -75,6 +75,8 @@ def build_fused_collide_stream_3d_2step(
     TXe, TYe = TX + 2, TY + 2  # step-1 (intermediate) region
 
     body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
+    if body.use_aux:
+        raise NotImplementedError("spatial-BC aux field is not plumbed through the 2-step kernel; use the single-step path")
     compute_from_ext = body.compute_from_ext
 
     c = velocity_set._c

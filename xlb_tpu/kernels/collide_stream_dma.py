@@ -123,8 +123,12 @@ def build_fused_collide_stream_3d_dma(
             pieces.append((cstart, clen, px, py))
     n_dmas = len(pieces)
 
+    use_aux = body.use_aux
+    cdt = compute_dtype
+
     def kernel(omega_ref, f_hbm, mask_ref, *rest):
         out, buf, sems = rest[-3:]  # alias_output adds an unread out_init input
+        aux_val = rest[0][...].astype(cdt) if use_aux else None
         it = pl.program_id(0) * gj + pl.program_id(1)
         slot = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
@@ -183,15 +187,13 @@ def build_fused_collide_stream_3d_dma(
         for k in range(n_dmas):
             piece_dma(slot, it, k).wait()
 
-        cdt = compute_dtype
-
         def read_ext(l, x0, y0):
             # halo-tile offsets (0,1,2) -> buffer offsets: y interior starts
             # at 8, so the one-deep y-halo rows sit at 7 and TY+8
             ys = 7 + y0
             return buf[slot, l, x0 : x0 + TX, ys : ys + TY, :].astype(cdt)
 
-        compute_from_ext(read_ext, mask_ref[...], out, cdt(omega_ref[0, 0]))
+        compute_from_ext(read_ext, mask_ref[...], out, cdt(omega_ref[0, 0]), aux_val)
 
     spec_mask = pl.BlockSpec((TX, TY, Z), lambda a, b: (oi + a, oj + b, 0))
     if padded_halo:
@@ -205,6 +207,10 @@ def build_fused_collide_stream_3d_dma(
         pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM, DMA'd manually
         spec_mask,
     ]
+    if use_aux:
+        if padded_halo:
+            raise NotImplementedError("spatial-BC aux field is not yet plumbed through the padded-halo mode")
+        in_specs.append(pl.BlockSpec((velocity_set.d, TX, TY, Z), lambda i, j: (0, oi + i, oj + j, 0)))
     if alias_output:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -223,19 +229,23 @@ def build_fused_collide_stream_3d_dma(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, store_dtype),
         interpret=interpret,
-        input_output_aliases={3: 0} if alias_output else {},
+        input_output_aliases={(4 if use_aux else 3): 0} if alias_output else {},
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )
 
-    def step(f, mask_i32, omega, out_init=None):
+    def step(f, mask_i32, omega, out_init=None, aux=None):
         if padded_halo:
             assert f.shape[1:3] == (X + 2 * TX, Y + 2 * TY), (
                 f"padded_halo kernel expects padded extents {(X + 2 * TX, Y + 2 * TY)}, got {f.shape[1:3]}"
             )
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        args = [omega_arr, f, mask_i32]
+        if use_aux:
+            assert aux is not None, "spatial-BC kernel needs the aux prescribed-velocity field"
+            args.append(aux)
         if alias_output:
             assert out_init is not None, "alias_output kernel needs the output buffer to write into"
-            return fused(omega_arr, f, mask_i32, out_init)
-        return fused(omega_arr, f, mask_i32)
+            args.append(out_init)
+        return fused(*args)
 
     return step

@@ -70,8 +70,10 @@ def build_fused_collide_then_stream(
     c = vs._c
     opp = vs._opp_indices
     cdt = compute_dtype
+    from xlb_tpu.kernels.collide_stream import spec_uses_aux
+
     for spec in bc_specs:
-        if spec["kind"] not in SUPPORTED_KINDS:
+        if spec["kind"] not in SUPPORTED_KINDS or spec_uses_aux(spec):
             raise NotImplementedError(f"BC kind {spec['kind']!r} unsupported by the multires CTS kernel")
 
     body = _build_kernel_body(vs, collision, [], compute_dtype, store_dtype, None, None, force_vector=None)

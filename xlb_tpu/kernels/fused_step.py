@@ -39,9 +39,12 @@ def bc_to_spec(bc, velocity_set):
     if isinstance(bc, HalfwayBounceBackBC):
         spec = {"kind": "halfway", "id": bc.id, "step": step, "mw": None}
         if bc.needs_moving_wall_treatment:
-            u_wall = np.asarray(bc.profile()).reshape(-1)
-            cu = vs._c.T.astype(np.float64) @ u_wall
-            spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
+            if _is_spatial_profile(bc):
+                spec["mw"] = "aux"  # per-voxel wall velocity from the aux field
+            else:
+                u_wall = np.asarray(bc.profile()).reshape(-1)
+                cu = vs._c.T.astype(np.float64) @ u_wall
+                spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
         return spec
     if isinstance(bc, ExtrapolationOutflowBC):
         return {"kind": "extrapolation_outflow", "id": bc.id, "step": step, "normal": np.asarray(bc.normal, dtype=np.int64)}
@@ -59,6 +62,41 @@ def bc_to_spec(bc, velocity_set):
         f"{type(bc).__name__} is not yet supported by the fused Pallas kernel; "
         "use ComputeBackend.JAX for this configuration"
     )
+
+
+def _is_spatial_profile(bc):
+    """True when the BC's wall-velocity profile varies per voxel (its
+    callable takes the voxel coordinates)."""
+    import inspect
+
+    return bc.profile is not None and len(inspect.signature(bc.profile).parameters) >= 1
+
+
+def build_aux_field(stepper):
+    """Assemble the per-voxel prescribed-velocity field for spatial BCs as
+    a host NumPy (d, *shape) array, or None when no BC needs it.  The TPU
+    analogue of the reference's f_1 aux-slot encoding
+    (helper_functions_bc.py:371-501): spatial prescriptions ride a side
+    array fetched with each tile instead of stolen population slots."""
+    vs = stepper.velocity_set
+    aux = None
+    for bc in stepper.boundary_conditions:
+        if not (isinstance(bc, HalfwayBounceBackBC) and bc.needs_moving_wall_treatment and _is_spatial_profile(bc)):
+            continue
+        if bc.indices is None:
+            raise NotImplementedError(
+                "spatial-profile BCs need voxel indices before the fused kernel is built "
+                "(mesh-based BCs: run prepare_fields first)"
+            )
+        # evaluate at the dilated fluid-side shell, where the BC's missing
+        # directions live (matches bc_bounce_back._moving_wall_term)
+        idx = np.asarray(bc.pad_indices(), dtype=np.int64)
+        vals = np.asarray(bc.profile(idx.astype(np.float64)), dtype=np.float32)
+        if aux is None:
+            aux = np.zeros((vs.d,) + tuple(stepper.grid.shape), np.float32)
+        keep = np.all((idx >= 0) & (idx < np.asarray(stepper.grid.shape)[:, None]), axis=0)
+        aux[(slice(None),) + tuple(idx[:, keep])] = vals[:, keep]
+    return aux
 
 
 def stepper_force_vector(stepper):
@@ -99,6 +137,8 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     collision = stepper.collision_type
     force_vector = stepper_force_vector(stepper)
     pp = stepper.precision_policy
+    aux_np = build_aux_field(stepper)
+    aux_dev = None if aux_np is None else jnp.asarray(aux_np)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -120,7 +160,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
 
         def step2d(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
             mask_i32 = pack_masks(bc_mask, missing_mask)
-            return f_0, fused2d(f_0, mask_i32, omega)
+            return f_0, fused2d(f_0, mask_i32, omega, aux=aux_dev)
 
         return step2d
 
@@ -158,12 +198,12 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
         return f_1
 
     @jax.custom_vjp
-    def fused_core(f_0, bc_mask, missing_mask, omega):
+    def fused_core(f_0, bc_mask, missing_mask, omega, aux):
         mask_i32 = pack_masks(bc_mask, missing_mask)
-        return fused(f_0, mask_i32, omega)
+        return fused(f_0, mask_i32, omega, aux=aux)
 
-    def _fwd(f_0, bc_mask, missing_mask, omega):
-        return fused_core(f_0, bc_mask, missing_mask, omega), (f_0, bc_mask, missing_mask, omega)
+    def _fwd(f_0, bc_mask, missing_mask, omega, aux):
+        return fused_core(f_0, bc_mask, missing_mask, omega, aux), (f_0, bc_mask, missing_mask, omega)
 
     def _bwd(res, g):
         import numpy as _np
@@ -175,13 +215,14 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
         def _zero(x):
             return _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
 
-        return df, _zero(bc_mask), _zero(missing_mask), dom
+        daux = None if aux_dev is None else jnp.zeros_like(aux_dev)
+        return df, _zero(bc_mask), _zero(missing_mask), dom, daux
 
     fused_core.defvjp(_fwd, _bwd)
 
     def step(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
         omega = jnp.asarray(omega, dtype=pp.compute_dtype)
-        return f_0, fused_core(f_0, bc_mask, missing_mask, omega)
+        return f_0, fused_core(f_0, bc_mask, missing_mask, omega, aux_dev)
 
     return step
 
@@ -214,6 +255,8 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         shifted = jnp.dtype(pp.store_dtype).itemsize < 4
     has_solids = getattr(stepper, "has_solids", True)
     force_vector = stepper_force_vector(stepper)
+    aux_np = build_aux_field(stepper)
+    aux_dev = None if aux_np is None else jnp.asarray(aux_np)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -246,11 +289,13 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         )
         if two_step is None:
             # the 2-step working set (depth-2 halo buffers + intermediate)
-            # only fits the 16 MB v5e VMEM with 16-bit storage
+            # only fits the 16 MB v5e VMEM with 16-bit storage; the aux
+            # (spatial-BC) field is not plumbed through it yet
             two_step = (
                 kernel == "dma"
                 and jnp.dtype(pp.store_dtype).itemsize < 4
                 and num_steps >= 2
+                and aux_dev is None
                 and shape[0] % tile[0] == 0
                 and shape[1] % tile[1] == 0
             )
@@ -267,7 +312,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     w_shift = vs._w.reshape((vs.q,) + (1,) * vs.d).astype(np.dtype(pp.store_dtype))
 
     @jax.jit
-    def run(f_0, f_1, bc_mask, missing_mask, omega):
+    def _run(f_0, f_1, bc_mask, missing_mask, omega, aux):
         mask_i32 = pack_masks(bc_mask, missing_mask)
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
         g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
@@ -276,8 +321,11 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             if num_steps % 2:
                 g = fused(g, mask_i32, omega_c)
         else:
-            g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c), g)
+            g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c, aux=aux), g)
         f_out = g.astype(pp.compute_dtype) + w_shift.astype(pp.compute_dtype) if shifted else g
         return f_out, f_out
+
+    def run(f_0, f_1, bc_mask, missing_mask, omega):
+        return _run(f_0, f_1, bc_mask, missing_mask, omega, aux_dev)
 
     return run
