@@ -80,3 +80,19 @@ def test_ibm_enforces_no_slip_on_sphere():
     assert speed_at_markers.mean() < 0.2 * 0.03, f"mean marker speed {speed_at_markers.mean():.2e}"
     # far field keeps flowing
     assert np.asarray(u)[0, 2, 2, 2] > 0.02
+
+
+def test_marker_stencil_does_not_wrap():
+    """A marker near the domain edge must not couple to the opposite face
+    (the old periodic-wrap hazard, models/ibm.py)."""
+    import jax.numpy as jnp
+    from xlb_tpu.models.ibm import spread_to_grid
+
+    shape = (16, 8, 8)
+    pos = jnp.asarray([[0.6, 4.0, 4.0]])  # stencil would wrap to x = 14, 15
+    vals = jnp.asarray([[1.0, 0.0, 0.0]])
+    areas = jnp.asarray([1.0])
+    num, den = spread_to_grid(vals, pos, areas, shape)
+    den3 = np.asarray(den).reshape(shape)
+    assert den3[:3].sum() > 0  # weight lands near the marker
+    assert den3[14:].sum() == 0.0, "stencil wrapped around the domain"

@@ -81,6 +81,22 @@ def test_flow_past_cylinder_2d():
     assert np.isfinite(drags).all() and np.isfinite(uy).all()
 
 
+def test_airfoil_ibm():
+    # needs ~a third of a convective time for the starting vortex to shed
+    # and lift to turn positive
+    cd, cl = _load("ibm/airfoil_ibm.py").run(nx=40, ny=16, nz=24, num_steps=120)
+    assert np.isfinite(cd) and np.isfinite(cl)
+    # positive angle of attack must produce positive lift and positive drag
+    assert cl > 0 and cd > 0
+
+
+def test_wind_turbine_ibm():
+    torque, thrust = _load("ibm/wind_turbine_ibm.py").run(nx=40, nyz=24, num_steps=40, window=20)
+    assert all(np.isfinite(t) for t in torque) and all(np.isfinite(t) for t in thrust)
+    # the incoming flow must push on the rotor (positive axial thrust)
+    assert thrust[-1] > 0
+
+
 def test_multires_windtunnel_3d():
     drags = _load("cfd/multires_windtunnel_3d.py").run(nx=24, nyz=16, coarse_steps=20, print_every=0)
     assert len(drags) == 20 and np.isfinite(drags).all()

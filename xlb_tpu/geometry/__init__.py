@@ -1,4 +1,12 @@
-from xlb_tpu.geometry.stl import load_stl, save_stl, transform_mesh, rotation_matrix, sphere_triangles
+from xlb_tpu.geometry.stl import (
+    load_stl,
+    save_stl,
+    transform_mesh,
+    rotation_matrix,
+    sphere_triangles,
+    naca_airfoil_triangles,
+    turbine_rotor_triangles,
+)
 from xlb_tpu.geometry.voxelize import MeshVoxelizationMethod, voxelize, winding_number, solid_voxel_indices
 from xlb_tpu.geometry.mesh_masker import assign_mesh_indices
 
@@ -8,6 +16,8 @@ __all__ = [
     "transform_mesh",
     "rotation_matrix",
     "sphere_triangles",
+    "naca_airfoil_triangles",
+    "turbine_rotor_triangles",
     "MeshVoxelizationMethod",
     "voxelize",
     "winding_number",

@@ -53,13 +53,16 @@ def _marker_stencil(positions, shape):
     base = jnp.floor(positions).astype(jnp.int32) - 1  # (n, 3)
     offs = jnp.stack(jnp.meshgrid(*[jnp.arange(4)] * 3, indexing="ij"), axis=-1).reshape(-1, 3)  # (64, 3)
     cells = base[:, None, :] + offs[None, :, :]  # (n, 64, 3)
-    # periodic wrap keeps ids in range; markers should sit away from the
-    # domain boundary anyway
     dims = jnp.asarray(shape, dtype=jnp.int32)
-    cells_w = jnp.mod(cells, dims[None, None, :])
+    # stencil cells outside the domain contribute NOTHING: zero their
+    # weights (a wrap here would silently couple a near-edge marker to the
+    # opposite face) and clamp the ids only so indexing stays in range
+    in_domain = jnp.all((cells >= 0) & (cells < dims[None, None, :]), axis=-1)  # (n, 64)
+    cells_c = jnp.clip(cells, 0, dims[None, None, :] - 1)
     r = cells.astype(positions.dtype) - positions[:, None, :]
     w = peskin_weight(r[..., 0]) * peskin_weight(r[..., 1]) * peskin_weight(r[..., 2])  # (n, 64)
-    lin = (cells_w[..., 0] * dims[1] + cells_w[..., 1]) * dims[2] + cells_w[..., 2]  # (n, 64)
+    w = jnp.where(in_domain, w, 0.0)
+    lin = (cells_c[..., 0] * dims[1] + cells_c[..., 1]) * dims[2] + cells_c[..., 2]  # (n, 64)
     return lin, w
 
 
