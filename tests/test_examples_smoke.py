@@ -97,6 +97,11 @@ def test_wind_turbine_ibm():
     assert thrust[-1] > 0
 
 
+def test_ooc_cavity():
+    u = _load("ooc_cavity.py").run(n=32, num_tiles=4, steps=8, steps_per_sweep=2)
+    assert np.isfinite(u).all() and np.abs(u).max() <= 0.05
+
+
 def test_multires_windtunnel_3d():
     drags = _load("cfd/multires_windtunnel_3d.py").run(nx=24, nyz=16, coarse_steps=20, print_every=0)
     assert len(drags) == 20 and np.isfinite(drags).all()

@@ -11,6 +11,22 @@ A sweep with ghost width ``g`` advances ``g`` LBM steps per host<->device
 round trip (the pull stencil consumes one ghost layer per step), amortizing
 PCIe/tunnel transfers -- the same trick as the reference's
 ``padding``/sub-stepping (ooc_array.py ghost machinery).
+
+Hardened design (vs the reference's cupy ring and our first cut):
+
+- **In-place writeback, O(ghost) extra memory**: tiles are written back
+  into the SAME host array while neighbors still see pre-sweep values --
+  only the ghost-deep boundary strips each neighbor will read are cached
+  before being overwritten (the old version allocated a full-domain copy
+  per sweep, doubling host RAM for billion-cell domains).
+- **Transfer/compute overlap**: JAX dispatch is asynchronous, so tile
+  i+1's upload and compute are enqueued BEFORE tile i's result is fetched;
+  the host-side writeback of tile i then runs concurrently with the
+  device computing tile i+1 (the reference needs pinned buffers + CUDA
+  streams for the same effect, ooc_array.py).
+- **Multi-array sweeps**: ``fn`` may return a tuple, written back to
+  several OOCArrays in one pass (e.g. populations + a tracked scalar
+  field), so aux fields don't pay their own sweep.
 """
 
 from functools import partial
@@ -53,18 +69,29 @@ class OOCArray:
         out.data[...] = array
         return out
 
-    def padded_tile(self, i, ghost):
-        """Tile ``i`` with ``ghost`` wrap-around layers on the tiled axis."""
+    def _axis_slice(self, start, stop):
+        sl = [slice(None)] * len(self.shape)
+        sl[self.tile_axis] = slice(start, stop)
+        return tuple(sl)
+
+    def padded_tile(self, i, ghost, lo_override=None, hi_override=None):
+        """Tile ``i`` with ``ghost`` wrap-around layers on the tiled axis.
+        ``lo_override``/``hi_override`` substitute cached pre-sweep ghost
+        strips when the neighbor has already been updated in place."""
         ax = self.tile_axis
-        start = i * self.tile_extent - ghost
-        idx = (np.arange(start, start + self.tile_extent + 2 * ghost)) % self.shape[ax]
-        return np.take(self.data, idx, axis=ax)
+        ext = self.shape[ax]
+        start = i * self.tile_extent
+        lo = lo_override if lo_override is not None else np.take(
+            self.data, (np.arange(start - ghost, start)) % ext, axis=ax
+        )
+        hi = hi_override if hi_override is not None else np.take(
+            self.data, (np.arange(start + self.tile_extent, start + self.tile_extent + ghost)) % ext, axis=ax
+        )
+        mid = self.data[self._axis_slice(start, start + self.tile_extent)]
+        return np.concatenate([lo, mid, hi], axis=ax)
 
     def write_tile(self, i, tile_interior):
-        ax = self.tile_axis
-        sl = [slice(None)] * len(self.shape)
-        sl[ax] = slice(i * self.tile_extent, (i + 1) * self.tile_extent)
-        self.data[tuple(sl)] = np.asarray(tile_interior)
+        self.data[self._axis_slice(i * self.tile_extent, (i + 1) * self.tile_extent)] = np.asarray(tile_interior)
 
     def to_numpy(self):
         return self.data
@@ -75,26 +102,55 @@ def ooc_map(fn, ooc_arrays, ghost=1, out_index=0):
     (parity surface with the reference's OOCmap decorator,
     out_of_core.py:12-110).
 
-    ``fn(*padded_tiles) -> padded_out`` must be jittable; the valid interior
-    of its output (ghost layers stripped on the tiled axis) is written back
-    to ``ooc_arrays[out_index]``.  Outputs land in a fresh host buffer so
-    tiles always read the pre-sweep state of their neighbors.
+    ``fn(*padded_tiles) -> padded_out`` (or a tuple of padded outputs) must
+    be jittable; the valid interior of each output (ghost layers stripped
+    on the tiled axis) is written back to ``ooc_arrays[out_index]``
+    (``out_index`` may be a sequence for multi-output fns).  All tiles read
+    the PRE-sweep state of their neighbors; writeback is in place with
+    only the ghost-deep boundary strips cached.
     """
-    lead = ooc_arrays[out_index]
-    out_host = np.empty_like(lead.data)
+    out_indices = [out_index] if isinstance(out_index, int) else list(out_index)
+    outs = [ooc_arrays[k] for k in out_indices]
+    lead = outs[0]
+    n, ax = lead.num_tiles, lead.tile_axis
     jfn = jax.jit(fn)
-    ax = lead.tile_axis
-    for i in range(lead.num_tiles):
-        tiles = [jnp.asarray(arr.padded_tile(i, ghost)) for arr in ooc_arrays]
-        result = jfn(*tiles)
+
+    def _interior(result):
         sl = [slice(None)] * result.ndim
         sl[ax] = slice(ghost, result.shape[ax] - ghost)
-        interior = np.asarray(result[tuple(sl)])
-        osl = [slice(None)] * out_host.ndim
-        osl[ax] = slice(i * lead.tile_extent, (i + 1) * lead.tile_extent)
-        out_host[tuple(osl)] = interior
-    lead.data = out_host
+        return result[tuple(sl)]
+
+    # Writeback lags tile assembly by one iteration, so tile i's lo ghost
+    # always reads tile i-1's still-pristine tail from `data` directly;
+    # the only pre-sweep state a later tile needs after a writeback is the
+    # WRAP: the last tile's hi ghost = tile 0's head.  Cache just that.
+    head0 = {id(a): a.data[a._axis_slice(0, ghost)].copy() for a in outs}
+
+    def _tiles(i):
+        tiles = []
+        for arr in ooc_arrays:
+            hi = head0.get(id(arr)) if (i == n - 1 and n > 1) else None
+            tiles.append(jnp.asarray(arr.padded_tile(i, ghost, hi_override=hi)))
+        return tiles
+
+    pending = None  # (tile index, device results) awaiting writeback
+    for i in range(n):
+        results = jfn(*_tiles(i))  # enqueued asynchronously
+        if not isinstance(results, (tuple, list)):
+            results = (results,)
+        if pending is not None:
+            _flush(outs, pending, _interior)  # overlaps tile i's device compute
+        pending = (i, results)
+    _flush(outs, pending, _interior)
     return lead
+
+
+def _flush(outs, pending, _interior):
+    """Fetch a tile's device results (blocking; the NEXT tile's compute is
+    already enqueued, so the device stays busy) and write them in place."""
+    i, results = pending
+    for arr, res in zip(outs, results):
+        arr.write_tile(i, _interior(np.asarray(res)))
 
 
 class OOCNSESolver:
@@ -116,6 +172,8 @@ class OOCNSESolver:
         self.f = OOCArray.from_array(np.asarray(f_0), num_tiles=self.num_tiles)
         self.bc_mask = OOCArray.from_array(np.asarray(bc_mask), num_tiles=self.num_tiles)
         self.missing_mask = OOCArray.from_array(np.asarray(missing_mask), num_tiles=self.num_tiles)
+        # free the on-device copies: from here the domain is host-resident
+        del f_0, f_1
         return self
 
     def run(self, num_steps, omega):
