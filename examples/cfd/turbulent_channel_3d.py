@@ -109,8 +109,11 @@ def run(nx=64, ny=32, nz=32, re_tau=60.0, u_tau=0.002, num_steps=1000, seed=0):
     return mean_profile
 
 
-def run_validation(nx=192, ny=96, nz=64, re_tau=180.0, u_tau=0.004, dev_steps=160000,
+def run_validation(nx=192, ny=96, nz=64, re_tau=180.0, u_tau=0.006, dev_steps=160000,
                    avg_steps=80000, sample_every=8, seed=0, backend="pallas"):
+    # u_tau sets omega = 1/(3 u_tau h / Re_tau + 0.5): 0.006 gives 1.987 --
+    # enough dissipation margin for KBC at dz+ = 5.6 (0.004 -> 1.9967 blew
+    # up after transition on the first attempt)
     """Full DNS validation: develop the turbulence, then time-average the
     streamwise profile in-jit and compare u+(y+) to MKM.  Returns the mean
     relative deviation over y+ in [10, 180]."""
@@ -127,7 +130,10 @@ def run_validation(nx=192, ny=96, nz=64, re_tau=180.0, u_tau=0.004, dev_steps=16
     for s in range(0, dev_steps, 20000):
         f_0, f_1 = window(f_0, f_1, bc_mask, missing_mask, omega)
         rho, u = mac(f_0)
-        print(f"  dev {s + 20000}: bulk u={float(u[0].mean()):.5f} finite={bool(jnp.isfinite(u).all())}")
+        bulk = float(u[0].mean())
+        print(f"  dev {s + 20000}: bulk u={bulk:.5f} finite={bool(jnp.isfinite(u).all())}", flush=True)
+        if not np.isfinite(bulk):
+            raise FloatingPointError(f"channel blew up during development at step {s + 20000}")
 
     # averaging phase: sample the x/y-averaged profile every few steps
     step1 = stepper.build_multi_step(sample_every, donate=False)

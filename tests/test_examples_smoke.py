@@ -102,6 +102,12 @@ def test_ooc_cavity():
     assert np.isfinite(u).all() and np.abs(u).max() <= 0.05
 
 
+def test_windtunnel_ibm():
+    # the impulsive-start transient needs ~150 steps before drag turns positive
+    cd = _load("ibm/windtunnel_ibm.py").run(nx=40, nyz=20, num_steps=150)
+    assert np.isfinite(cd) and cd > 0
+
+
 def test_multires_windtunnel_3d():
     drags = _load("cfd/multires_windtunnel_3d.py").run(nx=24, nyz=16, coarse_steps=20, print_every=0)
     assert len(drags) == 20 and np.isfinite(drags).all()
