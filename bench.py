@@ -13,10 +13,10 @@ BASELINE.md; the reference publishes no absolute numbers in-tree).
 Configuration: the production mixed-precision policy FP32BF16 (f32 compute,
 16-bit storage -- the TPU analogue of the reference's FP32FP16 policy,
 precision_policy.py:13-120), run through the temporally-blocked fused
-Pallas path (deviation-form storage + two LBM steps per HBM pass,
-bit-identical to two single-step passes; physics accuracy validated by the
-Taylor-Green decay test in tests/models/test_precision.py).  FP32FP32
-reaches ~1.8 GLUPS on the same chip (docs/performance.md has the table).
+Pallas path (deviation-form storage + two LBM steps per HBM pass, matching
+two single-step passes to store-dtype roundoff; physics accuracy validated
+by the Taylor-Green decay test in tests/models/test_precision.py).
+FP32FP32 reaches ~2.3 GLUPS on the same chip (docs/performance.md).
 
 On CPU falls back to a small domain with the jnp tier so the harness still
 produces a line.
@@ -65,8 +65,9 @@ def main():
     if on_accel:
         from xlb_tpu.kernels.fused_step import build_fused_window
 
-        # auto-selects deviation-form storage + the 2-step fused kernel
-        run_window = build_fused_window(stepper, iters, kernel="dma", tile=(8, 16), interpret=False)
+        # auto-selects deviation-form storage + the 2-step fused kernel;
+        # tile (8, 64) is the measured v5e optimum (docs/performance.md)
+        run_window = build_fused_window(stepper, iters, kernel="dma", tile=(8, 64), interpret=False)
     else:
         step_fn = stepper
 

@@ -21,7 +21,10 @@ from xlb_tpu.boundary import (
 )
 from xlb_tpu.kernels.fused_step import bc_to_spec, pack_masks
 from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
-from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_2step
+from xlb_tpu.kernels.collide_stream_2step import (
+    build_fused_collide_stream_3d_2step,
+    build_fused_collide_stream_3d_kstep,
+)
 
 
 def _cavity_stepper(vs_cls, shape, collision="BGK", outflow=False):
@@ -74,6 +77,49 @@ def test_2step_matches_two_single_steps(collision, outflow):
     a = np.asarray(g_ref.astype(jnp.float32))
     b = np.asarray(g_two.astype(jnp.float32))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("steps", [3, 4])
+@pytest.mark.parametrize("store", [jnp.bfloat16, jnp.float32])
+def test_kstep_matches_k_single_steps(steps, store):
+    """Deeper temporal blocking: k fused sweeps per HBM pass equal k
+    single-step passes to store-dtype roundoff.
+
+    Not bitwise: XLA's FMA contraction depends on the slab shape, and the
+    k-step sweeps run on (TX+2(k-s))-extent regions vs the oracle's TX --
+    isolated elements can round differently by ~1 ulp of the store dtype.
+    A real indexing bug on this white-noise field would show O(100%)
+    errors, so a tight ulp-scale relative bound plus a high exact-match
+    fraction still discriminates sharply."""
+    shape = (16, 16, 128)
+    stepper, (f_0, f_1, bc_mask, missing_mask) = _cavity_stepper(D3Q19, shape, "BGK", outflow=True)
+    vs = stepper.velocity_set
+    specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    shifted = store == jnp.bfloat16
+    kw = dict(
+        collision="BGK", bc_specs=specs, compute_dtype=jnp.float32,
+        store_dtype=store, tile=(8, 8), interpret=True, shifted=shifted,
+    )
+    one = build_fused_collide_stream_3d_dma(vs, shape, **kw)
+    kfn = build_fused_collide_stream_3d_kstep(vs, shape, steps=steps, **kw)
+
+    mask_i32 = pack_masks(bc_mask, missing_mask)
+    rng = np.random.default_rng(7)
+    w = vs._w.reshape(vs.q, 1, 1, 1)
+    base = 0.02 * rng.standard_normal((vs.q,) + shape).astype(np.float32) * w
+    g = jnp.asarray(base if shifted else base + w, dtype=store)
+
+    g_ref = g
+    for _ in range(steps):
+        g_ref = one(g_ref, mask_i32, 1.7)
+    g_k = kfn(g, mask_i32, 1.7)
+    a = np.asarray(g_ref.astype(jnp.float32))
+    b = np.asarray(g_k.astype(jnp.float32))
+    eps = float(jnp.finfo(store).eps)
+    np.testing.assert_allclose(b, a, rtol=8 * eps, atol=8 * eps * 0.05)
+    # ulp-level FMA-contraction noise touches a few % of elements; a real
+    # indexing bug would fail the allclose above AND drop this to ~0
+    assert np.mean(a == b) > 0.9, f"only {np.mean(a == b):.4f} of elements match exactly"
 
 
 def test_2step_single_tile_wrap():

@@ -273,27 +273,19 @@ def _build_kernel_body(
 
         return [jnp.where(on, f_bd[l], f_s[l]) for l in range(q)]
 
-    def compute_from_ext(read_ext, packed, out, omega, aux=None):
-        """Shared physics body: ``read_ext(l, x0, y0)`` must return the
-        (TX, TY, Z) slab of direction l at halo-tile offset (x0, y0)
-        (0 = pulled from -1 side, 1 = centered, 2 = pulled from +1 side).
-        ``packed`` is the int32 mask (missing bits 0..q-1, bc id bits
-        27..31, see ``pack_masks``).  ``aux``, when given, is the (d, ...)
-        per-voxel prescribed-velocity field (compute dtype) used by BC
-        specs flagged spatial -- the TPU analogue of the reference's
-        aux-data slots (helper_functions_bc.py:371-501)."""
+    def pointwise_core(fs_raw, fp_raw, packed, omega, aux=None, staging_read=None):
+        """Per-voxel physics given already-gathered populations.
+
+        ``fs_raw[l]`` is the raw (store-form) pulled slab of direction l;
+        ``fp_raw(l)`` lazily returns the raw centered (pre-streaming) slab.
+        Everything here is voxel-local except the extrapolation-outflow
+        staging epilogue, which needs ``staging_read`` (the halo-tile
+        reader) for its tangential-neighbor pulls -- callers that require
+        strict voxel-locality (the fused adjoint) pass ``staging_read=None``
+        and must reject extrapolation_outflow specs.  Returns the list of
+        post-collision compute-dtype slabs (unshifted, uncast)."""
         bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
-        # ---- pull streaming: static slice + lane roll per direction ------
-        # 3D: x/y pulls from the halo tile, z via lane roll.
-        # 2D: x pulls from the halo tile, y via lane roll (y is the lane dim).
-        f_s = []
-        for l in range(q):
-            if d == 3:
-                cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
-            else:
-                cx, cy, cz = int(c[0, l]), 0, int(c[1, l])  # y0 stays centered (1)
-            tile = _roll_lane(read_ext(l, 1 - cx, 1 - cy), cz)
-            f_s.append(tile + cdt(w[l]) if shifted else tile)
+        f_s = [fs_raw[l] + cdt(w[l]) if shifted else fs_raw[l] for l in range(q)]
 
         # pre-streaming populations, read lazily: only the channels a BC
         # epilogue (or the solid keep-out) actually touches cost a slab read
@@ -301,7 +293,7 @@ def _build_kernel_body(
 
         def f_pre(l):
             if l not in fpre_cache:
-                v = read_ext(l, 1, 1)
+                v = fp_raw(l)
                 fpre_cache[l] = v + cdt(w[l]) if shifted else v
             return fpre_cache[l]
 
@@ -380,6 +372,9 @@ def _build_kernel_body(
         for spec in bc_specs:
             if spec["kind"] != "extrapolation_outflow":
                 continue
+            assert staging_read is not None, (
+                "extrapolation_outflow staging needs halo-tile reads; this caller requires voxel-local physics"
+            )
             on = bc == kernel_bc_id(spec["id"])
             n = spec["normal"]  # static d-vector (outward)
             cs_speed = cdt(1.0 / np.sqrt(3.0))
@@ -394,7 +389,7 @@ def _build_kernel_body(
                     # c_m . n >= +1: such a direction is never a staged slot
                     # at this face (its pull source is interior fluid)
                     continue
-                neighbor = _roll_lane(read_ext(m, 1 - t[0], 1 - t[1]), t[2])
+                neighbor = _roll_lane(staging_read(m, 1 - t[0], 1 - t[1]), t[2])
                 if shifted:
                     neighbor = neighbor + cdt(w[m])
                 extrap_opp = cs_speed * neighbor + (1.0 - cs_speed) * f_s[m]
@@ -404,11 +399,34 @@ def _build_kernel_body(
         # early-out, nse_stepper.py:440-441); also kills NaNs from rho=0.
         # Skipped entirely when the stepper knows no voxel carries the
         # solid tag (bounding-box-only setups) -- saves q slab reads.
-        solid = (bc == 31) if has_solids else None  # packed id of cell-type 255
+        if has_solids:
+            solid = bc == 31  # packed id of cell-type 255
+            f_out = [jnp.where(solid, f_pre(l), f_out[l]) for l in range(q)]
+        return f_out
+
+    def compute_from_ext(read_ext, packed, out, omega, aux=None):
+        """Shared physics body: ``read_ext(l, x0, y0)`` must return the
+        (TX, TY, Z) slab of direction l at halo-tile offset (x0, y0)
+        (0 = pulled from -1 side, 1 = centered, 2 = pulled from +1 side).
+        ``packed`` is the int32 mask (missing bits 0..q-1, bc id bits
+        27..31, see ``pack_masks``).  ``aux``, when given, is the (d, ...)
+        per-voxel prescribed-velocity field (compute dtype) used by BC
+        specs flagged spatial -- the TPU analogue of the reference's
+        aux-data slots (helper_functions_bc.py:371-501)."""
+        # ---- pull streaming: static slice + lane roll per direction ------
+        # 3D: x/y pulls from the halo tile, z via lane roll.
+        # 2D: x pulls from the halo tile, y via lane roll (y is the lane dim).
+        fs_raw = []
         for l in range(q):
-            result = jnp.where(solid, f_pre(l), f_out[l]) if has_solids else f_out[l]
-            if shifted:
-                result = result - cdt(w[l])
+            if d == 3:
+                cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
+            else:
+                cx, cy, cz = int(c[0, l]), 0, int(c[1, l])  # y0 stays centered (1)
+            fs_raw.append(_roll_lane(read_ext(l, 1 - cx, 1 - cy), cz))
+
+        f_out = pointwise_core(fs_raw, lambda l: read_ext(l, 1, 1), packed, omega, aux, staging_read=read_ext)
+        for l in range(q):
+            result = f_out[l] - cdt(w[l]) if shifted else f_out[l]
             out[l] = result.astype(store_dtype)
 
     def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11, mask_ref, *rest):
@@ -437,6 +455,7 @@ def _build_kernel_body(
         compute_from_ext(read_ext, mask_ref[...], out, omega, aux_val)
 
     kernel.compute_from_ext = compute_from_ext
+    kernel.pointwise_core = pointwise_core
     kernel.use_aux = use_aux
     kernel.moments = moments
     kernel.equilibrium = equilibrium

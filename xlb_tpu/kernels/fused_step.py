@@ -123,6 +123,17 @@ def pack_masks(bc_mask, missing_mask):
     return miss_i32 | (bc << 27)
 
 
+def _auto_tile(shape):
+    """Default (TX, TY) for the manual-DMA kernels: TX=8 matches the
+    sublane-friendly layout (falling back to smaller divisors for odd
+    x-extents, e.g. out-of-core padded slabs), TY as large as divides Y
+    (wider tiles amortize the fixed 8-row y-halo blocks) -- (8, 64) is the
+    measured v5e optimum at 256^3 (docs/performance.md has the sweep)."""
+    tx = next((t for t in (8, 4, 2, 1) if shape[0] % t == 0), 1)
+    ty = next((t for t in (64, 32, 16, 8) if shape[1] % t == 0), 8)
+    return (tx, ty)
+
+
 def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     """Build the PALLAS-tier step for an IncompressibleNavierStokesStepper.
 
@@ -172,7 +183,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     if kernel == "dma":
         from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
 
-        tile = tile or (8, 16)
+        tile = tile or _auto_tile(shape)
     else:
         builder = build_fused_collide_stream_3d
         tile = tile or (16, 8)
@@ -189,10 +200,26 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
         force_vector=force_vector,
     )
 
-    # -- differentiability: the fused forward pairs with the jnp tier's VJP
-    # (same math to f32 roundoff, see tests/kernels/test_fused_kernel.py) --
-    # the adjoint of an LBM step is itself an LBM-like sweep, so backward
-    # cost matches one jnp-tier step.
+    # -- differentiability: the fused forward pairs with a FUSED adjoint
+    # sweep when every BC epilogue is voxel-local (kernels/adjoint_step.py:
+    # jax.vjp of the per-voxel physics inside one manual-DMA pass -- ~5x
+    # faster than the jnp-tier VJP), falling back to the jnp tier's VJP
+    # otherwise (same math to f32 roundoff, tests/kernels/test_fused_kernel.py).
+    fused_bwd = None
+    if vs.d == 3 and kernel == "dma" and aux_np is None:
+        from xlb_tpu.kernels.adjoint_step import build_fused_adjoint_3d
+
+        try:
+            fused_bwd = build_fused_adjoint_3d(
+                vs, shape, collision=collision, bc_specs=bc_specs,
+                compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+                tile=tile, interpret=interpret,
+                has_solids=getattr(stepper, "has_solids", True),
+                force_vector=force_vector,
+            )
+        except (NotImplementedError, AssertionError):
+            fused_bwd = None  # unsupported config: jnp-tier VJP below
+
     def _jnp_step(f_0, bc_mask, missing_mask, omega):
         _, f_1 = stepper._step_pull(f_0, f_0, bc_mask, missing_mask, omega, 0)
         return f_1
@@ -209,8 +236,14 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
         import numpy as _np
 
         f_0, bc_mask, missing_mask, omega = res
-        _, vjp = jax.vjp(lambda f, om: _jnp_step(f, bc_mask, missing_mask, om), f_0, omega)
-        df, dom = vjp(g)
+        if fused_bwd is not None:
+            mask_i32 = pack_masks(bc_mask, missing_mask)
+            df, dom_field = fused_bwd(f_0, g, mask_i32, omega)
+            df = df.astype(f_0.dtype)
+            dom = jnp.sum(dom_field.astype(jnp.float32)).astype(jnp.asarray(omega).dtype)
+        else:
+            _, vjp = jax.vjp(lambda f, om: _jnp_step(f, bc_mask, missing_mask, om), f_0, omega)
+            df, dom = vjp(g)
 
         def _zero(x):
             return _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
@@ -227,7 +260,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     return step
 
 
-def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None):
+def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None, temporal_steps=None, shape_override=None):
     """A jitted ``num_steps``-window of the fused step with optional
     deviation-form (shifted) storage between steps.
 
@@ -237,10 +270,14 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     of quantizing them against the O(1) lattice weights -- and are converted
     back at the window boundary (two cheap elementwise passes per window).
 
-    With ``two_step=True`` (default when 16-bit storage makes the working
-    set fit VMEM), step pairs run through the temporally-blocked kernel
-    (collide_stream_2step.py) -- two LBM steps per HBM pass, bit-identical
-    to two single-step passes; an odd remainder runs one single step.
+    ``temporal_steps`` (k) routes groups of k steps through the temporally
+    blocked kernel (collide_stream_2step.py) -- k LBM steps per HBM pass,
+    matching k single-step passes to store-dtype roundoff; the
+    ``num_steps % k`` remainder runs single steps.  Default: k=2, falling
+    back to smaller k if the VMEM working set overflows
+    (``two_step=True/False`` forces k=2 / k=1 for compatibility).  Deeper
+    blocking cuts HBM traffic ~1/k but the kernel is compute-bound past
+    k=2 on v5e (docs/performance.md has the k sweep).
 
     Returns ``run(f_0, f_1, bc_mask, missing_mask, omega) -> (f_0, f_1)``
     in plain (unshifted) form.  When shifted, the returned field is in the
@@ -261,7 +298,11 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
-    shape = stepper.grid.shape
+    # shape_override runs the window on a different (static) domain shape
+    # than the stepper's grid -- e.g. an out-of-core padded slab (ooc.py)
+    shape = tuple(shape_override) if shape_override is not None else stepper.grid.shape
+    if shape_override is not None and aux_dev is not None:
+        raise NotImplementedError("spatial-BC aux fields are grid-shaped; they cannot ride a shape_override window")
 
     fused2 = None
     if vs.d == 2:
@@ -280,34 +321,45 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
         else:
             builder = build_fused_collide_stream_3d
-        tile = tile or ((8, 16) if kernel == "dma" else (16, 8))
+        tile = tile or (_auto_tile(shape) if kernel == "dma" else (16, 8))
         fused = builder(
             vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile=tile, interpret=interpret, shifted=shifted, has_solids=has_solids,
             force_vector=force_vector,
         )
-        if two_step is None:
-            # the 2-step working set (depth-2 halo buffers + intermediate)
-            # only fits the 16 MB v5e VMEM with 16-bit storage; the aux
-            # (spatial-BC) field is not plumbed through it yet
-            two_step = (
-                kernel == "dma"
-                and jnp.dtype(pp.store_dtype).itemsize < 4
-                and num_steps >= 2
-                and aux_dev is None
-                and shape[0] % tile[0] == 0
-                and shape[1] % tile[1] == 0
-            )
-        if two_step:
-            from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_2step
+        if temporal_steps is None:
+            if two_step is not None:
+                temporal_steps = 2 if two_step else 1
+            else:
+                # auto: k=2. Deeper blocking cuts HBM traffic further but the
+                # kernel is compute-bound past k=2 on v5e (halo recompute grows
+                # with k): measured 4493/4119/4061 MLUPS at k=2/3/4, 256^3
+                # bf16 tile (8,64).  Callers with expensive exchanges (DCN)
+                # can ask for more.
+                temporal_steps = 2
+        eligible = (
+            kernel == "dma"
+            and num_steps >= 2
+            and aux_dev is None
+            and shape[0] % tile[0] == 0
+            and shape[1] % tile[1] == 0
+        )
+        if eligible and temporal_steps >= 2:
+            from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_kstep
 
-            fused2 = build_fused_collide_stream_3d_2step(
-                vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
-                compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
-                tile=tile, interpret=interpret, shifted=shifted, has_solids=has_solids,
-                force_vector=force_vector,
-            )
+            for k in range(min(temporal_steps, num_steps, tile[0], 8), 1, -1):
+                try:
+                    fused2 = build_fused_collide_stream_3d_kstep(
+                        vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+                        compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+                        tile=tile, steps=k, interpret=interpret, shifted=shifted,
+                        has_solids=has_solids, force_vector=force_vector,
+                    )
+                    temporal_steps = k
+                    break
+                except ValueError:  # VMEM working set too large at this k
+                    continue
 
     w_shift = vs._w.reshape((vs.q,) + (1,) * vs.d).astype(np.dtype(pp.store_dtype))
 
@@ -317,8 +369,9 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
         g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
         if fused2 is not None:
-            g = jax.lax.fori_loop(0, num_steps // 2, lambda i, g: fused2(g, mask_i32, omega_c), g)
-            if num_steps % 2:
+            k = temporal_steps
+            g = jax.lax.fori_loop(0, num_steps // k, lambda i, g: fused2(g, mask_i32, omega_c), g)
+            for _ in range(num_steps % k):
                 g = fused(g, mask_i32, omega_c)
         else:
             g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c, aux=aux), g)

@@ -16,8 +16,10 @@ GSPMD primitives instead of a C++ grid library:
   (reference distribute.py:21-46 semantics, generalized beyond 1-D x).
 - The fused kernel runs in ``padded_halo`` mode: halo pieces read fixed
   pad-relative offsets (all 8-aligned), the output keeps the padded shape,
-  and -- with 16-bit storage -- step pairs go through the temporally-blocked
-  2-step kernel with depth-2 pad exchanges.
+  and step groups go through the temporally-blocked k-step kernel with
+  depth-k pad exchanges (deepest feasible k in {4, 3, 2} by default) --
+  k steps of physics per ICI round trip, the halo-deepening trick that
+  trades a little edge recompute for 1/k the exchange count.
 - ``overlap=True`` splits each iteration into an inner-tile kernel that
   reads the PRE-exchange carry (its tiles never touch the pads) and an
   edge-ring of four strip kernels that read the post-exchange carry,
@@ -40,7 +42,7 @@ from jax.sharding import PartitionSpec as P
 
 from xlb_tpu.kernels.fused_step import bc_to_spec, pack_masks, stepper_force_vector
 from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
-from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_2step
+from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_kstep
 
 
 def _ring_perms(n):
@@ -56,6 +58,7 @@ def build_distributed_fused_window(
     interpret=None,
     shifted=None,
     two_step=None,
+    temporal_steps=None,
     overlap=False,
 ):
     """Returns ``run(f_0, f_1, bc_mask, missing_mask, omega) -> (f, f)``
@@ -80,9 +83,15 @@ def build_distributed_fused_window(
         interpret = jax.default_backend() == "cpu"
     if shifted is None:
         shifted = jnp.dtype(pp.store_dtype).itemsize < 4
-    if two_step is None:
-        two_step = jnp.dtype(pp.store_dtype).itemsize < 4 and num_steps >= 2 and TX >= 2
-    depth = 2 if two_step else 1
+    if temporal_steps is None:
+        if two_step is not None:
+            temporal_steps = 2 if two_step else 1
+        else:
+            # auto: k=2 (the single-chip compute/traffic optimum on v5e).
+            # Deeper k buys fewer ICI round trips per step at the cost of
+            # halo recompute -- worth requesting explicitly when the
+            # exchange itself dominates (e.g. DCN-linked slices).
+            temporal_steps = 2
 
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
     kw = dict(
@@ -98,11 +107,20 @@ def build_distributed_fused_window(
         force_vector=stepper_force_vector(stepper),
     )
     local_shape = (Xl, Yl, Z)
-    if two_step:
-        fused = build_fused_collide_stream_3d_2step(vs, local_shape, **kw)
-    else:
+    fused = None
+    K = 1
+    k_max = min(temporal_steps, num_steps, TX, 8) if Z % 128 == 0 else 1
+    for k in range(k_max, 1, -1):
+        try:
+            fused = build_fused_collide_stream_3d_kstep(vs, local_shape, steps=k, **kw)
+            K = k
+            break
+        except ValueError:  # VMEM working set too large at this depth
+            continue
+    if fused is None:
         fused = build_fused_collide_stream_3d_dma(vs, local_shape, **kw)
-    fused_odd = build_fused_collide_stream_3d_dma(vs, local_shape, **kw) if (two_step and num_steps % 2) else None
+    depth = K
+    fused_odd = build_fused_collide_stream_3d_dma(vs, local_shape, **kw) if (K > 1 and num_steps % K) else None
 
     x_fwd, x_bwd = _ring_perms(px)
     y_fwd, y_bwd = _ring_perms(py)
@@ -133,7 +151,11 @@ def build_distributed_fused_window(
     # ---- optional overlapped variant: inner tiles vs edge ring ------------
     inner_split = overlap and nX > 2 and nY > 2
     if inner_split:
-        builder = build_fused_collide_stream_3d_2step if two_step else build_fused_collide_stream_3d_dma
+        if K > 1:
+            def builder(*a, **k2):
+                return build_fused_collide_stream_3d_kstep(*a, steps=K, **k2)
+        else:
+            builder = build_fused_collide_stream_3d_dma
         fused_inner = builder(vs, local_shape, sub_grid=(1, 1, nX - 2, nY - 2), **kw)
         ring_strips = [
             builder(vs, local_shape, sub_grid=sg, alias_output=True, **kw)
@@ -149,12 +171,13 @@ def build_distributed_fused_window(
         g0 = jnp.zeros((q, Xl + 2 * TX, Yl + 2 * TY, Z), pp.store_dtype)
         g0 = lax.dynamic_update_slice(g0, f_loc, (0, TX, TY, 0))
 
-        if two_step:
-            # the 2-step kernel needs the mask on its step-1 extended region
+        if K > 1:
+            # the k-step kernel needs the (static) mask on its first sweep's
+            # depth-(K-1) extended region: one exchange covers every iteration
             m0 = jnp.zeros((Xl + 2 * TX, Yl + 2 * TY, Z), jnp.int32)
             m0 = lax.dynamic_update_slice(m0, mask_loc, (TX, TY, 0))
-            m0 = _exchange(m0[None], 1, 1)[0]
-            m0 = _exchange(m0[None], 1, 2)[0]
+            m0 = _exchange(m0[None], K - 1, 1)[0]
+            m0 = _exchange(m0[None], K - 1, 2)[0]
             mask_in = m0
         else:
             mask_in = mask_loc
@@ -171,9 +194,9 @@ def build_distributed_fused_window(
                 return out
             return fused(g_post, mask_in, omega_c)
 
-        n_iters = num_steps // 2 if two_step else num_steps
+        n_iters = num_steps // K
         g = lax.fori_loop(0, n_iters, body, g0)
-        if fused_odd is not None:
+        for _ in range(num_steps % K):  # remainder: single steps, depth-1 pads
             g = _exchange(_exchange(g, 1, 1), 1, 2)
             g = fused_odd(g, mask_loc, omega_c)
         f_out = lax.dynamic_slice(g, (0, TX, TY, 0), (q, Xl, Yl, Z))
