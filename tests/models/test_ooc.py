@@ -53,3 +53,38 @@ def test_ooc_cavity_matches_in_core():
     solver = OOCNSESolver(stepper2, num_tiles=4, steps_per_sweep=2).prepare()
     got = solver.run(8, omega=1.5)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-7)
+
+
+def test_ooc_fused_tier_matches_in_core():
+    """tier="fused" routes the per-slab compute through the Pallas fused
+    window bound to the padded-slab shape (interpret mode on CPU)."""
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    def _cavity3d():
+        grid = grid_factory((16, 16, 128), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+        box = grid.bounding_box_indices()
+        box_ne = grid.bounding_box_indices(remove_edges=True)
+        walls = np.unique(
+            np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1), axis=1
+        )
+        bcs = [
+            HalfwayBounceBackBC(indices=walls.tolist()),
+            EquilibriumBC(rho=1.0, u=(0.04, 0.0, 0.0), indices=box_ne["top"]),
+        ]
+        return IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+
+    init_env(D3Q19)
+    stepper = _cavity3d()
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fa, fb = f0, f1
+    for t in range(4):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+    expected = np.asarray(fa)
+
+    boundary_condition_registry.reset()
+    stepper2 = _cavity3d()
+    solver = OOCNSESolver(stepper2, num_tiles=2, steps_per_sweep=2, tier="fused").prepare()
+    got = solver.run(4, omega=1.5)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=5e-6)
