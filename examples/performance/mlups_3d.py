@@ -14,7 +14,7 @@ import time
 import numpy as np
 
 
-def benchmark(cube_edge, num_steps, backend_tier, velocity_set_name, collision, precision, warmup, reps, tile):
+def benchmark(cube_edge, num_steps, backend_tier, velocity_set_name, collision, precision, warmup, reps, tile, window=False, temporal_steps=None):
     import jax
     import jax.numpy as jnp
 
@@ -43,39 +43,49 @@ def benchmark(cube_edge, num_steps, backend_tier, velocity_set_name, collision, 
     stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs, collision_type=collision)
     f0, f1, bc_mask, missing_mask = stepper.prepare_fields()
 
-    if backend_tier == "pallas":
-        from xlb_tpu.kernels.fused_step import build_fused_step
+    if backend_tier == "pallas" and window:
+        # the production path: fused window (temporal blocking + shifted
+        # 16-bit storage auto-selected; see kernels/fused_step.py)
+        from xlb_tpu.kernels.fused_step import build_fused_window
 
-        step_fn = build_fused_step(stepper, tile=tile, interpret=jax.default_backend() == "cpu")
+        run_window = build_fused_window(
+            stepper, num_steps, tile=tile, interpret=jax.default_backend() == "cpu", temporal_steps=temporal_steps
+        )
     else:
-        step_fn = stepper
+        if backend_tier == "pallas":
+            from xlb_tpu.kernels.fused_step import build_fused_step
 
-    @jax.jit
-    def window(f0, f1, bc_mask, missing_mask, omega):
-        def body(i, carry):
-            a, b = carry
-            a, b = step_fn(a, b, bc_mask, missing_mask, omega, i)
-            return (b, a)
+            step_fn = build_fused_step(stepper, tile=tile, interpret=jax.default_backend() == "cpu")
+        else:
+            step_fn = stepper
 
-        return jax.lax.fori_loop(0, num_steps, body, (f0, f1))
+        @jax.jit
+        def run_window(f0, f1, bc_mask, missing_mask, omega):
+            def body(i, carry):
+                a, b = carry
+                a, b = step_fn(a, b, bc_mask, missing_mask, omega, i)
+                return (b, a)
+
+            return jax.lax.fori_loop(0, num_steps, body, (f0, f1))
 
     omega = 1.9
-    f0, f1 = window(f0, f1, bc_mask, missing_mask, omega)
-    float(jnp.sum(f0[0, 0, 0, :8]))  # sync
+    f0, f1 = run_window(f0, f1, bc_mask, missing_mask, omega)
+    float(jnp.sum(f0[0, 0, 0, :8].astype(jnp.float32)))  # sync
     for _ in range(max(0, warmup - 1)):
-        f0, f1 = window(f0, f1, bc_mask, missing_mask, omega)
-    float(jnp.sum(f0[0, 0, 0, :8]))
+        f0, f1 = run_window(f0, f1, bc_mask, missing_mask, omega)
+    float(jnp.sum(f0[0, 0, 0, :8].astype(jnp.float32)))
 
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        f0, f1 = window(f0, f1, bc_mask, missing_mask, omega)
-        float(jnp.sum(f0[0, 0, 0, :8]))
+        f0, f1 = run_window(f0, f1, bc_mask, missing_mask, omega)
+        float(jnp.sum(f0[0, 0, 0, :8].astype(jnp.float32)))
         best = min(best, time.perf_counter() - t0)
 
     mlups = n**3 * num_steps / best / 1e6
+    mode = "window" if (backend_tier == "pallas" and window) else "per-step"
     print(
-        f"{velocity_set_name} {collision} {precision} tier={backend_tier} {n}^3: "
+        f"{velocity_set_name} {collision} {precision} tier={backend_tier} ({mode}) {n}^3: "
         f"{mlups:.1f} MLUPS ({best / num_steps * 1e3:.3f} ms/step, {reps} reps)"
     )
     return mlups
@@ -91,7 +101,9 @@ if __name__ == "__main__":
     p.add_argument("--precision", default="FP32FP32")
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--reps", type=int, default=3)
-    p.add_argument("--tile", type=int, nargs=2, default=(16, 8))
+    p.add_argument("--tile", type=int, nargs=2, default=None, help="(TX, TY); default: auto (8, 64)-style")
+    p.add_argument("--window", action="store_true", help="run the fused window (temporal blocking + shifted storage)")
+    p.add_argument("--temporal-steps", type=int, default=None, help="LBM steps per HBM pass in --window mode (default 2)")
     args = p.parse_args()
     benchmark(
         args.cube_edge,
@@ -102,5 +114,7 @@ if __name__ == "__main__":
         args.precision,
         args.warmup,
         args.reps,
-        tuple(args.tile),
+        tuple(args.tile) if args.tile else None,
+        window=args.window,
+        temporal_steps=args.temporal_steps,
     )

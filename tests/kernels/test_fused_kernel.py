@@ -330,3 +330,31 @@ def test_fused_adjoint_sweep_matches_jnp_vjp(collision):
     df_f, dom_f = bwd(f0, g, pack_masks(bm, mm), 1.5)
     np.testing.assert_allclose(np.asarray(df_f), np.asarray(df_ref), rtol=1e-4, atol=1e-7)
     np.testing.assert_allclose(np.asarray(dom_f), np.asarray(dom_ref), rtol=1e-4, atol=1e-8)
+
+
+def test_fused_adjoint_through_rollout():
+    """Reverse-mode through a static fori_loop of fused steps (lowers to
+    scan): each step's backward is the fused Pallas adjoint."""
+    import jax
+
+    init_env(D3Q19)
+    shape = (16, 16, 128)
+    grid = grid_factory(shape, mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    bcs = [EquilibriumBC(rho=1.0, u=(0.03, 0.0, 0.0), indices=box_ne["top"])]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True, kernel="dma")
+
+    def rollout_loss(step_fn, f, omega, steps=3):
+        def body(i, carry):
+            a, b = carry
+            a, b = step_fn(a, b, bm, mm, omega, i)
+            return (b, a)
+
+        a, _ = jax.lax.fori_loop(0, steps, body, (f, f))
+        return jnp.sum(a.astype(jnp.float32) ** 2)
+
+    g_fused = jax.grad(lambda f, om: rollout_loss(fused, f, om))(f0, jnp.float32(1.4))
+    g_jnp = jax.grad(lambda f, om: rollout_loss(stepper, f, om))(f0, jnp.float32(1.4))
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_jnp), rtol=2e-4, atol=1e-6)

@@ -19,6 +19,7 @@ Quick start::
 from xlb_tpu.compute_backend import ComputeBackend
 from xlb_tpu.precision_policy import Precision, PrecisionPolicy
 from xlb_tpu.physics_type import PhysicsType
+from xlb_tpu.mres_perf_optimization_type import MresPerfOptimizationType
 from xlb_tpu.cell_type import BC_NONE, BC_SFV, BC_SOLID
 from xlb_tpu.default_config import DefaultConfig, init, check_backend_support
 from xlb_tpu.operator import Operator
@@ -33,6 +34,7 @@ __all__ = [
     "Precision",
     "PrecisionPolicy",
     "PhysicsType",
+    "MresPerfOptimizationType",
     "BC_NONE",
     "BC_SFV",
     "BC_SOLID",
