@@ -22,7 +22,7 @@ from xlb_tpu.ops import Macroscopic
 from xlb_tpu.utils import omega_from_reynolds
 
 
-def run(nx=96, nyz=48, re=100.0, u_in=0.04, num_steps=1000):
+def run(nx=96, nyz=48, re=100.0, u_in=0.04, num_steps=1000, inlet="parabolic"):
     xlb.init(velocity_set=D3Q19(), default_backend=xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, nyz, nyz))
@@ -36,7 +36,17 @@ def run(nx=96, nyz=48, re=100.0, u_in=0.04, num_steps=1000):
         np.concatenate([np.asarray(box[k]) for k in ("bottom", "top", "front", "back")], axis=1), axis=1
     )
     bc_walls = HalfwayBounceBackBC(indices=walls.tolist())
-    bc_inlet = RegularizedBC("velocity", prescribed_value=(u_in, 0.0, 0.0), indices=box_ne["left"])
+    if inlet == "parabolic":
+        # per-voxel parabolic profile u = u_max (1 - r^2), the reference's
+        # default inlet (flow_past_sphere_3d.py:86-107); runs in the fused
+        # kernel via the aux prescribed-velocity field
+        yz = (np.arange(nyz) + 0.5) / nyz - 0.5
+        ry, rz = np.meshgrid(2.0 * yz, 2.0 * yz, indexing="ij")
+        prescribed = np.zeros((3, 1, nyz, nyz))
+        prescribed[0, 0] = u_in * np.maximum(0.0, 1.0 - ry**2 - rz**2)
+        bc_inlet = RegularizedBC("velocity", profile=lambda: prescribed, indices=box_ne["left"])
+    else:
+        bc_inlet = RegularizedBC("velocity", prescribed_value=(u_in, 0.0, 0.0), indices=box_ne["left"])
     bc_outlet = ExtrapolationOutflowBC(indices=box_ne["right"])
     bc_sphere = HalfwayBounceBackBC(mesh_vertices=sphere)
 
@@ -63,5 +73,6 @@ if __name__ == "__main__":
     p.add_argument("--nx", type=int, default=96)
     p.add_argument("--nyz", type=int, default=48)
     p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--inlet", choices=["parabolic", "uniform"], default="parabolic")
     args = p.parse_args()
-    run(nx=args.nx, nyz=args.nyz, num_steps=args.steps)
+    run(nx=args.nx, nyz=args.nyz, num_steps=args.steps, inlet=args.inlet)

@@ -358,3 +358,47 @@ def test_fused_adjoint_through_rollout():
     g_fused = jax.grad(lambda f, om: rollout_loss(fused, f, om))(f0, jnp.float32(1.4))
     g_jnp = jax.grad(lambda f, om: rollout_loss(stepper, f, om))(f0, jnp.float32(1.4))
     np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_jnp), rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("bc_cls_name", ["ZouHeBC", "RegularizedBC"])
+def test_fused_spatial_velocity_profile_inlet(bc_cls_name):
+    """A parabolic (per-voxel) velocity profile on a ZouHe/Regularized inlet
+    runs in the fused kernel via the aux field (reference
+    flow_past_sphere_3d.py:95-107 uses exactly this inlet)."""
+    from xlb_tpu.boundary import ZouHeBC, RegularizedBC, ExtrapolationOutflowBC
+
+    vs = init_env(D3Q19)
+    n = 16
+    grid = grid_factory((n, n, n), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "top", "front", "back")], axis=1), axis=1
+    )
+    yz = (np.arange(n) + 0.5) / n - 0.5
+    ry, rz = np.meshgrid(2 * yz, 2 * yz, indexing="ij")
+    parab = 0.04 * np.maximum(0.0, 1.0 - ry**2 - rz**2)
+    prescribed = np.zeros((3, 1, n, n))
+    prescribed[0, 0] = parab
+    bc_cls = {"ZouHeBC": ZouHeBC, "RegularizedBC": RegularizedBC}[bc_cls_name]
+    inlet = bc_cls("velocity", profile=lambda: prescribed, indices=box_ne["left"])
+    bcs = [FullwayBounceBackBC(indices=walls.tolist()), inlet, DoNothingBC(indices=box_ne["right"])]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True, kernel="blocked")
+
+    fa, fb = f0, f1
+    ga, gb = f0, f1
+    for t in range(4):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+        ga, gb = fused(ga, gb, bm, mm, 1.5, t)
+        ga, gb = gb, ga
+    diff = float(jnp.abs(fa - ga).max())
+    assert diff < 5e-6, f"{bc_cls_name} spatial profile: fused diverges by {diff}"
+    # the profile must actually drive a centerline-peaked inflow
+    from xlb_tpu.ops import Macroscopic
+
+    _, u = Macroscopic()(ga)
+    ux = np.asarray(u[0][1])
+    assert ux[n // 2, n // 2] > ux[1, 1] + 0.005

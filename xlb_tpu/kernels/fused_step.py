@@ -50,13 +50,16 @@ def bc_to_spec(bc, velocity_set):
         return {"kind": "extrapolation_outflow", "id": bc.id, "step": step, "normal": np.asarray(bc.normal, dtype=np.int64)}
     if isinstance(bc, (ZouHeBC, RegularizedBC)):
         kind = "regularized" if isinstance(bc, RegularizedBC) else "zouhe"
-        value = np.asarray(bc.prescribed_values, dtype=np.float64).reshape(-1)
+        value = np.asarray(bc.prescribed_values, dtype=np.float64)
         if bc.bc_type == "velocity":
-            if value.size != vs.d:
-                raise NotImplementedError(f"{kind} BC in the fused kernel requires a constant velocity vector")
-            spec_value = value
+            if value.size == vs.d:
+                spec_value = value.reshape(-1)
+            else:
+                spec_value = "aux"  # spatial profile: per-voxel velocity from the aux field
         else:
-            spec_value = float(value[0])
+            if value.size != 1:
+                raise NotImplementedError(f"{kind} pressure BC in the fused kernel requires a constant density")
+            spec_value = float(value.reshape(-1)[0])
         return {"kind": kind, "id": bc.id, "step": step, "bc_type": bc.bc_type, "value": spec_value}
     raise NotImplementedError(
         f"{type(bc).__name__} is not yet supported by the fused Pallas kernel; "
@@ -79,23 +82,41 @@ def build_aux_field(stepper):
     (helper_functions_bc.py:371-501): spatial prescriptions ride a side
     array fetched with each tile instead of stolen population slots."""
     vs = stepper.velocity_set
+    shape = tuple(stepper.grid.shape)
     aux = None
-    for bc in stepper.boundary_conditions:
-        if not (isinstance(bc, HalfwayBounceBackBC) and bc.needs_moving_wall_treatment and _is_spatial_profile(bc)):
-            continue
-        if bc.indices is None:
-            raise NotImplementedError(
-                "spatial-profile BCs need voxel indices before the fused kernel is built "
-                "(mesh-based BCs: run prepare_fields first)"
-            )
-        # evaluate at the dilated fluid-side shell, where the BC's missing
-        # directions live (matches bc_bounce_back._moving_wall_term)
-        idx = np.asarray(bc.pad_indices(), dtype=np.int64)
-        vals = np.asarray(bc.profile(idx.astype(np.float64)), dtype=np.float32)
+
+    def _ensure():
+        nonlocal aux
         if aux is None:
-            aux = np.zeros((vs.d,) + tuple(stepper.grid.shape), np.float32)
-        keep = np.all((idx >= 0) & (idx < np.asarray(stepper.grid.shape)[:, None]), axis=0)
-        aux[(slice(None),) + tuple(idx[:, keep])] = vals[:, keep]
+            aux = np.zeros((vs.d,) + shape, np.float32)
+        return aux
+
+    for bc in stepper.boundary_conditions:
+        if isinstance(bc, HalfwayBounceBackBC) and bc.needs_moving_wall_treatment and _is_spatial_profile(bc):
+            if bc.indices is None:
+                raise NotImplementedError(
+                    "spatial-profile BCs need voxel indices before the fused kernel is built "
+                    "(mesh-based BCs: run prepare_fields first)"
+                )
+            # evaluate at the dilated fluid-side shell, where the BC's missing
+            # directions live (matches bc_bounce_back._moving_wall_term)
+            idx = np.asarray(bc.pad_indices(), dtype=np.int64)
+            vals = np.asarray(bc.profile(idx.astype(np.float64)), dtype=np.float32)
+            keep = np.all((idx >= 0) & (idx < np.asarray(shape)[:, None]), axis=0)
+            _ensure()[(slice(None),) + tuple(idx[:, keep])] = vals[:, keep]
+        elif isinstance(bc, (ZouHeBC, RegularizedBC)) and bc.bc_type == "velocity":
+            values = np.asarray(bc.prescribed_values, dtype=np.float32)
+            if values.size == vs.d:
+                continue  # constant vector rides the spec, not the aux field
+            if bc.indices is None:
+                raise NotImplementedError("spatial ZouHe/Regularized profiles need voxel indices (run prepare_fields)")
+            # spatial profile: prescribed_values broadcasts over the domain
+            # (bc_zouhe._broadcast_prescribed semantics); sample at the BC voxels
+            from xlb_tpu.boundary.bc_zouhe import _broadcast_prescribed
+
+            full = np.broadcast_to(_broadcast_prescribed(values, (vs.d,) + shape), (vs.d,) + shape)
+            idx = np.asarray(bc.indices, dtype=np.int64)
+            _ensure()[(slice(None),) + tuple(idx)] = full[(slice(None),) + tuple(idx)]
     return aux
 
 
