@@ -1,9 +1,17 @@
-"""Fused 2D collide-stream Pallas kernel.
+"""Fused 2D collide-stream Pallas kernels (single-step and k-step).
 
 Layout (q, X, Y): X on sublanes, Y on lanes.  Tiles span full Y so y pulls
 are lane rolls (periodic); x halos arrive as 8-row sublane-aligned neighbor
 blocks (Mosaic forbids 1-row sublane strips) of which only the adjacent row
 is used -- read amplification 1 + 16/TX.
+
+Temporal blocking is nearly free in 2D: the 8-row halo blocks already
+cover any pull depth <= 8 and y needs no halo at all, so the k-step kernel
+(``build_fused_collide_stream_2d_kstep``) advances k LBM steps per HBM
+pass from the SAME fetch as one step -- traffic drops ~1/k with only a
+2(k-1)/TX-row recompute overhead.  Sweeps shrink one row per side per
+step; intermediates round-trip the storage dtype, so the result matches k
+single-step passes to store-dtype roundoff.
 
 For very wide domains (Y > max_y_resident) fall back to the JAX tier; 2D
 problems of that size are rare.
@@ -90,3 +98,104 @@ def build_fused_collide_stream_2d(
         return fused(omega_arr, f, f, f, mask_i32)
 
     return step
+
+
+def build_fused_collide_stream_2d_kstep(
+    velocity_set,
+    shape,
+    collision="BGK",
+    bc_specs=(),
+    compute_dtype=jnp.float32,
+    store_dtype=jnp.float32,
+    tile_x=32,
+    steps=2,
+    interpret=False,
+    shifted=False,
+    has_solids=True,
+    force_vector=None,
+):
+    """k LBM steps per HBM pass: (f, mask_i32, omega) -> f after ``steps``.
+
+    Same fetch as the single-step kernel (the 8-row x-halo blocks cover any
+    depth <= 8; y is lane-resident) plus two 8-row mask halo blocks for the
+    extended-region BC lookups."""
+    X, Y = shape
+    TX = tile_x
+    K = int(steps)
+    q = velocity_set.q
+    assert 2 <= K <= 8, f"2D temporal blocking supports 2 <= steps <= 8, got {K}"
+    assert X % TX == 0, f"tile_x {TX} must divide X {X}"
+    assert TX % 8 == 0, "tile_x must be a multiple of the sublane tile (8)"
+    nX = X // TX
+    r = TX // 8
+    nX8 = X // 8
+
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
+    if body.use_aux:
+        raise NotImplementedError("spatial-BC aux field is not plumbed through the 2D k-step kernel; use the single-step path")
+    compute_from_ext = body.compute_from_ext
+    cdt = compute_dtype
+
+    inter_shapes = [(q, TX + 2 * (K - 1 - i), Y) for i in range(K - 1)]
+
+    def kernel(omega_ref, center, xlo, xhi, mlo, mhi, mask_ref, out, ext, mext, *inters):
+        # ext rows: [lo distance K..1 | interior TX | hi distance 1..K]
+        ext[:, K : K + TX, :] = center[...].astype(cdt)
+        ext[:, 0:K, :] = xlo[:, 8 - K : 8, :].astype(cdt)
+        ext[:, TX + K : TX + 2 * K, :] = xhi[:, 0:K, :].astype(cdt)
+        # mext rows: [lo distance K-1..1 | interior TX | hi distance 1..K-1]
+        mext[K - 1 : K - 1 + TX, :] = mask_ref[...]
+        if K > 1:
+            mext[0 : K - 1, :] = mlo[8 - (K - 1) : 8, :]
+            mext[TX + K - 1 : TX + 2 * (K - 1), :] = mhi[0 : K - 1, :]
+
+        omega = cdt(omega_ref[0, 0])
+        for s in range(1, K + 1):
+            extent = TX + 2 * (K - s)
+            if s == 1:
+
+                def read(l, x0, y0, _e=extent):
+                    return ext[l, x0 : x0 + _e, :]
+            else:
+                src = inters[s - 2]
+
+                def read(l, x0, y0, _src=src, _e=extent):
+                    return _src[l, x0 : x0 + _e, :].astype(cdt)
+
+            mask_s = mext[s - 1 : s - 1 + extent, :]
+            dst = out if s == K else inters[s - 1]
+            compute_from_ext(read, mask_s, dst, omega)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nX,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((q, TX, Y), lambda i: (0, i, 0)),
+            pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem(i * r - 1 + nX8, nX8), 0)),
+            pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem((i + 1) * r, nX8), 0)),
+            pl.BlockSpec((8, Y), lambda i: (jax.lax.rem(i * r - 1 + nX8, nX8), 0)),
+            pl.BlockSpec((8, Y), lambda i: (jax.lax.rem((i + 1) * r, nX8), 0)),
+            pl.BlockSpec((TX, Y), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((q, TX, Y), lambda i: (0, i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((q, TX + 2 * K, Y), compute_dtype),
+            pltpu.VMEM((TX + 2 * (K - 1), Y), jnp.int32),
+        ]
+        + [pltpu.VMEM(s, store_dtype) for s in inter_shapes],
+    )
+
+    fusedk = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((q, X, Y), store_dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def stepk(f, mask_i32, omega, aux=None):
+        omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        return fusedk(omega_arr, f, f, f, mask_i32, mask_i32, mask_i32)
+
+    return stepk

@@ -327,14 +327,30 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
 
     fused2 = None
     if vs.d == 2:
-        from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
+        from xlb_tpu.kernels.collide_stream_2d import (
+            build_fused_collide_stream_2d,
+            build_fused_collide_stream_2d_kstep,
+        )
 
-        fused = build_fused_collide_stream_2d(
-            vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+        kw2 = dict(
+            collision=stepper.collision_type, bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile_x=(tile[0] if tile else 32), interpret=interpret, shifted=shifted,
             has_solids=has_solids, force_vector=force_vector,
         )
+        fused = build_fused_collide_stream_2d(vs, shape, **kw2)
+        if temporal_steps is None:
+            if two_step is not None:
+                temporal_steps = 2 if two_step else 1
+            else:
+                # 2D blocking is nearly free (same fetch as one step);
+                # k=4 measures best on v5e at 2048^2 (docs/performance.md)
+                temporal_steps = 4
+        if temporal_steps >= 2 and num_steps >= 2 and aux_dev is None:
+            try:
+                fused2 = build_fused_collide_stream_2d_kstep(vs, shape, steps=temporal_steps, **kw2)
+            except (NotImplementedError, AssertionError, ValueError):
+                fused2 = None
     else:
         if kernel == "dma" and shape[2] % 128 != 0:
             kernel = "blocked"
