@@ -40,9 +40,11 @@ def main():
     from xlb_tpu.boundary import EquilibriumBC, FullwayBounceBackBC
 
     on_accel = jax.default_backend() not in ("cpu",)
+    # 200-step windows keep the fixed tunnel round-trip (~10-50 ms sync
+    # fetch jitter) under a few % of the measured interval
     n = 256 if on_accel else 32
-    iters = 50 if on_accel else 5
-    reps = 3
+    iters = 200 if on_accel else 5
+    reps = 5
 
     xlb.init(
         velocity_set=D3Q19(),

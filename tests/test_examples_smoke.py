@@ -150,3 +150,8 @@ def test_taylor_green_vortex_3d_low_precision_storage():
     boundary_condition_registry.reset()
     ke_bf16, _ = _load("cfd/taylor_green_vortex_3d.py").run(n=16, num_steps=50, precision="FP32BF16")
     assert np.isfinite(ke_bf16) and 0 < ke_bf16 <= 0.028  # bounded by initial KE
+
+
+def test_ooc_autodiff():
+    losses = _load("ooc_autodiff.py").run(n=32, num_tiles=2, num_sweeps=2, iters=3)
+    assert losses[-1] < losses[0]

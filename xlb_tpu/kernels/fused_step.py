@@ -155,21 +155,34 @@ def _auto_tile(shape):
     return (tx, ty)
 
 
-def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
+def _auto_tile_x(X):
+    """Default tile_x for the 2D kernel: the largest 8-multiple divisor of
+    X up to 32 (the 2D kernels require 8 | tile_x | X; odd slab extents,
+    e.g. out-of-core padding, fall through to the caller's fallback)."""
+    return next((t for t in (32, 24, 16, 8) if X % t == 0), 8)
+
+
+def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_override=None):
     """Build the PALLAS-tier step for an IncompressibleNavierStokesStepper.
 
     ``kernel``: "dma" (manual double-buffered halo DMAs, fastest) or
     "blocked" (block-mapped halo fetches; simpler, more VMEM headroom).
+    ``shape_override`` runs the step on a different (static) domain shape
+    than the stepper's grid, e.g. an out-of-core padded slab.
     Returns a callable with the standard stepper signature
-    (f_0, f_1, bc_mask, missing_mask, omega, timestep) -> (f_0, f_1).
+    (f_0, f_1, bc_mask, missing_mask, omega, timestep) -> (f_0, f_1);
+    differentiable w.r.t. f_0 and omega in every dimension/kernel combo
+    (fused Pallas adjoint for 3D "dma", jnp-tier VJP otherwise).
     """
     vs = stepper.velocity_set
-    shape = stepper.grid.shape
+    shape = tuple(shape_override) if shape_override is not None else stepper.grid.shape
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
     collision = stepper.collision_type
     force_vector = stepper_force_vector(stepper)
     pp = stepper.precision_policy
     aux_np = build_aux_field(stepper)
+    if shape_override is not None and aux_np is not None:
+        raise NotImplementedError("spatial-BC aux fields are grid-shaped; they cannot ride a shape_override step")
     aux_dev = None if aux_np is None else jnp.asarray(aux_np)
 
     if interpret is None:
@@ -178,48 +191,43 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma"):
     if vs.d == 2:
         from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
 
-        fused2d = build_fused_collide_stream_2d(
+        kernel = "2d"
+        fused = build_fused_collide_stream_2d(
             vs,
             shape,
             collision=collision,
             bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype,
             store_dtype=pp.store_dtype,
-            tile_x=(tile[0] if tile else 32),
+            tile_x=(tile[0] if tile else _auto_tile_x(shape[0])),
             interpret=interpret,
             force_vector=force_vector,
         )
-
-        def step2d(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
-            mask_i32 = pack_masks(bc_mask, missing_mask)
-            return f_0, fused2d(f_0, mask_i32, omega, aux=aux_dev)
-
-        return step2d
-
-    if kernel == "dma" and shape[2] % 128 != 0:
-        # Mosaic DMA slices need 128-multiple lane extents; block-mapped
-        # specs accept any full-Z block
-        kernel = "blocked"
-
-    if kernel == "dma":
-        from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
-
-        tile = tile or _auto_tile(shape)
     else:
-        builder = build_fused_collide_stream_3d
-        tile = tile or (16, 8)
+        if kernel == "dma" and shape[2] % 128 != 0:
+            # Mosaic DMA slices need 128-multiple lane extents; block-mapped
+            # specs accept any full-Z block
+            kernel = "blocked"
 
-    fused = builder(
-        vs,
-        shape,
-        collision=collision,
-        bc_specs=bc_specs,
-        compute_dtype=pp.compute_dtype,
-        store_dtype=pp.store_dtype,
-        tile=tile,
-        interpret=interpret,
-        force_vector=force_vector,
-    )
+        if kernel == "dma":
+            from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
+
+            tile = tile or _auto_tile(shape)
+        else:
+            builder = build_fused_collide_stream_3d
+            tile = tile or (16, 8)
+
+        fused = builder(
+            vs,
+            shape,
+            collision=collision,
+            bc_specs=bc_specs,
+            compute_dtype=pp.compute_dtype,
+            store_dtype=pp.store_dtype,
+            tile=tile,
+            interpret=interpret,
+            force_vector=force_vector,
+        )
 
     # -- differentiability: the fused forward pairs with a FUSED adjoint
     # sweep when every BC epilogue is voxel-local (kernels/adjoint_step.py:
@@ -335,7 +343,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         kw2 = dict(
             collision=stepper.collision_type, bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
-            tile_x=(tile[0] if tile else 32), interpret=interpret, shifted=shifted,
+            tile_x=(tile[0] if tile else _auto_tile_x(shape[0])), interpret=interpret, shifted=shifted,
             has_solids=has_solids, force_vector=force_vector,
         )
         fused = build_fused_collide_stream_2d(vs, shape, **kw2)
