@@ -16,7 +16,7 @@ precision_policy.py:13-120), run through the temporally-blocked fused
 Pallas path (deviation-form storage + two LBM steps per HBM pass, matching
 two single-step passes to store-dtype roundoff; physics accuracy validated
 by the Taylor-Green decay test in tests/models/test_precision.py).
-FP32FP32 reaches ~2.3 GLUPS on the same chip (docs/performance.md).
+FP32FP32 reaches ~3.5 GLUPS on the same chip (docs/performance.md).
 
 On CPU falls back to a small domain with the jnp tier so the harness still
 produces a line.

@@ -1,8 +1,8 @@
-"""Data-path experiments: can any Pallas structure beat the ~306 GB/s cap?
+"""Data-path experiments: can any Pallas structure beat the ~325 GB/s cap?
 
 Round-1 found every *pipelined* Pallas copy (auto or manual DMA, any
-blocking, double buffered) caps at ~306 GB/s while an XLA fused scale-copy
-hits ~564 GB/s on the same chip.  This script probes structural variants:
+blocking, double buffered) caps at ~325 GB/s while an XLA fused scale-copy
+hits ~632 GB/s on the same chip.  This script probes structural variants:
 
   A. one whole-array HBM->HBM DMA (no VMEM round trip, no pipeline)
   B. manual-DMA input + manual-DMA output (both double buffered)

@@ -1,16 +1,18 @@
 """HBM bandwidth microbenchmark: XLA elementwise vs Pallas pipelined copies.
 
-Round-1 findings on the v5e dev chip (256^3 x 19 channels, f32):
-- XLA fused scale-copy:            ~564 GB/s (read+write)
+Findings on the v5e dev chip (256^3 x 19 channels, f32; 200-step
+windows -- shorter windows fold a ~30-40 ms tunnel round trip into the
+measurement and depress every number 8-25%):
+- XLA fused scale-copy:            ~632 GB/s (read+write)
 - Pallas pipelined copy (any blocking, single or double buffered,
-  auto or manual DMA):             ~306 GB/s
-- fused LBM kernel:                9.06 ms/step = within 8% of the Pallas
+  auto or manual DMA):             ~325 GB/s
+- fused LBM kernel (f32 1-step):   8.3 ms/step = within 7% of the Pallas
                                    copy bound; collision math and BC
                                    epilogues are fully hidden.
 
 Conclusion: the fused kernel is at the Pallas-DMA roofline.  Round-2
 follow-up (dma_experiments.py): a single whole-array HBM->HBM DMA -- no
-pipelining, no VMEM round trip, no kernel structure -- also caps at ~294
+pipelining, no VMEM round trip, no kernel structure -- also caps at ~310
 GB/s, as do 19 concurrent DMAs, manual double/triple buffering, and
 manual output DMA.  The cap is the DMA path itself; the productive road
 past it is LESS traffic (packed masks, 16-bit deviation-form storage,
@@ -29,7 +31,7 @@ f = jnp.ones((q, N, N, N), jnp.float32)
 GB = q*N*N*N*4/1e9
 
 # XLA-level copy (scale by 1.0000001 to prevent no-op)
-iters = 50
+iters = 200
 @jax.jit
 def xla_copy(x):
     return jax.lax.fori_loop(0, iters, lambda i, v: v * jnp.float32(1.0000001), x)

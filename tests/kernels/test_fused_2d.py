@@ -59,7 +59,7 @@ def test_fused_2d_kbc_matches_reference_step():
 import pytest
 
 
-@pytest.mark.parametrize("steps", [2, 4])
+@pytest.mark.parametrize("steps", [2, 4, 8])
 @pytest.mark.parametrize("store", [jnp.float32, jnp.bfloat16])
 def test_fused_2d_kstep_matches_k_single_steps(steps, store):
     """2D temporal blocking: k sweeps per HBM pass equal k single-step

@@ -352,8 +352,8 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                 temporal_steps = 2 if two_step else 1
             else:
                 # 2D blocking is nearly free (same fetch as one step);
-                # k=4 measures best on v5e at 2048^2 (docs/performance.md)
-                temporal_steps = 4
+                # k=8 measures best on v5e at 2048^2 (docs/performance.md)
+                temporal_steps = 8
         if temporal_steps >= 2 and num_steps >= 2 and aux_dev is None:
             try:
                 fused2 = build_fused_collide_stream_2d_kstep(vs, shape, steps=temporal_steps, **kw2)
@@ -379,7 +379,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             else:
                 # auto: k=2. Deeper blocking cuts HBM traffic further but the
                 # kernel is compute-bound past k=2 on v5e (halo recompute grows
-                # with k): measured 4493/4119/4061 MLUPS at k=2/3/4, 256^3
+                # with k): measured 5425/4849/4724 MLUPS at k=2/3/4, 256^3
                 # bf16 tile (8,64).  Callers with expensive exchanges (DCN)
                 # can ask for more.
                 temporal_steps = 2
