@@ -25,7 +25,7 @@ from xlb_tpu.boundary import EquilibriumBC, FullwayBounceBackBC
 from xlb_tpu.experimental.ooc import OOCNSESolver
 
 
-def run(n=256, num_tiles=4, steps=40, steps_per_sweep=4, u_lid=0.03, omega=1.7):
+def run(n=256, num_tiles=4, steps=40, steps_per_sweep=4, u_lid=0.03, omega=1.7, compression=None):
     xlb.init(velocity_set=D3Q19(), default_backend=xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((n, n, n))
@@ -46,7 +46,12 @@ def run(n=256, num_tiles=4, steps=40, steps_per_sweep=4, u_lid=0.03, omega=1.7):
             EquilibriumBC(rho=1.0, u=(u_lid, 0.0, 0.0), indices=box_ne["top"]),
         ],
     )
-    solver = OOCNSESolver(stepper, num_tiles=num_tiles, steps_per_sweep=steps_per_sweep).prepare()
+    solver = OOCNSESolver(stepper, num_tiles=num_tiles, steps_per_sweep=steps_per_sweep,
+                          compression=compression).prepare()
+    if compression:
+        raw = 19 * n**3 * 4
+        comp = solver.f.compressed_nbytes() + solver.bc_mask.compressed_nbytes() + solver.missing_mask.compressed_nbytes()
+        print(f"zstd tiles: {raw / comp:.1f}x compression at rest ({comp / 1e9:.2f} GB host RAM)")
 
     t0 = time.perf_counter()
     f = solver.run(steps, omega)
@@ -68,5 +73,7 @@ if __name__ == "__main__":
     p.add_argument("--tiles", type=int, default=4)
     p.add_argument("--steps", type=int, default=40)
     p.add_argument("--steps-per-sweep", type=int, default=4)
+    p.add_argument("--compress", action="store_true", help="hold tiles byte-shuffle+zstd compressed in host RAM")
     args = p.parse_args()
-    run(n=args.n, num_tiles=args.tiles, steps=args.steps, steps_per_sweep=args.steps_per_sweep)
+    run(n=args.n, num_tiles=args.tiles, steps=args.steps, steps_per_sweep=args.steps_per_sweep,
+        compression="zstd" if args.compress else None)

@@ -88,3 +88,63 @@ def test_ooc_fused_tier_matches_in_core():
     solver = OOCNSESolver(stepper2, num_tiles=2, steps_per_sweep=2, tier="fused").prepare()
     got = solver.run(4, omega=1.5)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=5e-6)
+
+
+def test_codec_roundtrip_all_dtypes():
+    from xlb_tpu.experimental import native as codec
+
+    rng = np.random.default_rng(3)
+    for arr in [
+        rng.standard_normal((7, 33, 5)).astype(np.float32),
+        (rng.random((4, 16, 16)) < 0.1),
+        rng.integers(0, 255, (1, 40, 3)).astype(np.uint8),
+        rng.standard_normal((3, 8, 8)).astype("bfloat16") if hasattr(np, "bfloat16") else rng.standard_normal((3, 8, 8)).astype(np.float16),
+    ]:
+        blob = codec.compress(arr)
+        out = codec.decompress(blob, arr.shape, arr.dtype)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(arr))
+
+
+def test_compressed_ooc_array_semantics():
+    from xlb_tpu.experimental.ooc import CompressedOOCArray
+
+    rng = np.random.default_rng(4)
+    base = rng.standard_normal((2, 16, 4)).astype(np.float32)
+    plain = OOCArray.from_array(base, num_tiles=4)
+    comp = CompressedOOCArray.from_array(base, num_tiles=4, ghost_cache=3)
+    for i in range(4):
+        for g in (1, 2, 3):
+            np.testing.assert_array_equal(comp.padded_tile(i, g), plain.padded_tile(i, g))
+    np.testing.assert_array_equal(comp.head_strip(2), plain.head_strip(2))
+    np.testing.assert_array_equal(comp.to_numpy(), base)
+    # writeback + ghost-cache refresh
+    new = rng.standard_normal((2, 4, 4)).astype(np.float32)
+    comp.write_tile(1, new)
+    plain.write_tile(1, new)
+    np.testing.assert_array_equal(comp.to_numpy(), plain.to_numpy())
+    np.testing.assert_array_equal(comp.padded_tile(0, 2), plain.padded_tile(0, 2))
+    np.testing.assert_array_equal(comp.padded_tile(2, 2), plain.padded_tile(2, 2))
+    assert comp.compressed_nbytes() > 0
+
+
+def test_ooc_compressed_cavity_matches_in_core():
+    """compression="zstd" sweeps tiles that live compressed in host RAM;
+    results are bit-identical to the uncompressed OOC run (the codec is
+    lossless), which itself matches in-core."""
+    vs = init_env(D2Q9)
+    stepper = _cavity(32)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fa, fb = f0, f1
+    for t in range(8):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+    expected = np.asarray(fa)
+
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    boundary_condition_registry.reset()
+    stepper2 = _cavity(32)
+    solver = OOCNSESolver(stepper2, num_tiles=4, steps_per_sweep=2, compression="zstd").prepare()
+    got = solver.run(8, omega=1.5)
+    np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-7)
+    assert solver.f.compressed_nbytes() < solver.f.to_numpy().nbytes

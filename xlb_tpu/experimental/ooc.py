@@ -93,8 +93,107 @@ class OOCArray:
     def write_tile(self, i, tile_interior):
         self.data[self._axis_slice(i * self.tile_extent, (i + 1) * self.tile_extent)] = np.asarray(tile_interior)
 
+    def head_strip(self, ghost):
+        """Copy of the first ``ghost`` layers on the tiled axis (cached by
+        ooc_map before a sweep: the wrap ghost of the last tile)."""
+        return self.data[self._axis_slice(0, ghost)].copy()
+
     def to_numpy(self):
         return self.data
+
+
+class CompressedOOCArray(OOCArray):
+    """An OOCArray whose tiles live byte-shuffle + zstd compressed in host
+    RAM (capability parity with the reference's nvComp compressed tiles,
+    ooc/tiles/compressed_tile.py:68-248 -- there LZ4 on the GPU, here the
+    native host codec in experimental/native/compress.cpp).
+
+    Smooth flow fields compress 10-40x, so a domain whose raw populations
+    exceed host RAM can still be swept; each tile decompresses on access
+    (~1 GB/s/core) and recompresses on writeback, overlapped with the next
+    tile's device compute by ooc_map's deferred-writeback pipeline.
+
+    ``ghost_cache`` layers of each tile's boundary strips are ALSO kept
+    uncompressed (O(ghost) memory) so neighbors' ghost reads never
+    decompress adjacent tiles; sweeps may use any ghost <= ghost_cache.
+    """
+
+    def __init__(self, shape, dtype=np.float32, tile_axis=1, num_tiles=1, fill_value=None, ghost_cache=8, level=1):
+        from xlb_tpu.experimental import native as _codec
+
+        self._codec = _codec
+        self.shape = tuple(shape)
+        self.tile_axis = int(tile_axis)
+        self.num_tiles = int(num_tiles)
+        extent = self.shape[self.tile_axis]
+        if extent % self.num_tiles:
+            raise ValueError(f"axis extent {extent} not divisible into {num_tiles} tiles")
+        self.tile_extent = extent // self.num_tiles
+        if ghost_cache > self.tile_extent:
+            raise ValueError(f"ghost_cache {ghost_cache} exceeds tile extent {self.tile_extent}")
+        self.dtype = np.dtype(dtype)
+        self.ghost_cache = int(ghost_cache)
+        self.level = int(level)
+        tile_shape = list(self.shape)
+        tile_shape[self.tile_axis] = self.tile_extent
+        self._tile_shape = tuple(tile_shape)
+        init = np.full(self._tile_shape, fill_value, dtype=self.dtype) if fill_value is not None else np.zeros(self._tile_shape, self.dtype)
+        self._blobs = [None] * self.num_tiles
+        self._lo = [None] * self.num_tiles  # first ghost_cache layers, uncompressed
+        self._hi = [None] * self.num_tiles  # last ghost_cache layers, uncompressed
+        for i in range(self.num_tiles):
+            self._store(i, init)
+
+    @classmethod
+    def from_array(cls, array, tile_axis=1, num_tiles=1, ghost_cache=8, level=1):
+        array = np.asarray(array)
+        out = cls(array.shape, array.dtype, tile_axis, num_tiles, ghost_cache=ghost_cache, level=level)
+        ext = out.tile_extent
+        for i in range(num_tiles):
+            out._store(i, array[out._axis_slice(i * ext, (i + 1) * ext)])
+        return out
+
+    def _store(self, i, tile):
+        tile = np.ascontiguousarray(tile, dtype=self.dtype)
+        self._blobs[i] = self._codec.compress(tile, level=self.level)
+        g = self.ghost_cache
+        ax = self.tile_axis
+        sl = [slice(None)] * len(self.shape)
+        sl[ax] = slice(0, g)
+        self._lo[i] = tile[tuple(sl)].copy()
+        sl[ax] = slice(self.tile_extent - g, self.tile_extent)
+        self._hi[i] = tile[tuple(sl)].copy()
+
+    def _tile(self, i):
+        return self._codec.decompress(self._blobs[i], self._tile_shape, self.dtype)
+
+    def padded_tile(self, i, ghost, lo_override=None, hi_override=None):
+        if ghost > self.ghost_cache:
+            raise ValueError(f"ghost {ghost} exceeds ghost_cache {self.ghost_cache}")
+        ax = self.tile_axis
+        n = self.num_tiles
+        sl = [slice(None)] * len(self.shape)
+        if lo_override is None:
+            sl[ax] = slice(self.ghost_cache - ghost, self.ghost_cache)
+            lo_override = self._hi[(i - 1) % n][tuple(sl)]
+        if hi_override is None:
+            sl[ax] = slice(0, ghost)
+            hi_override = self._lo[(i + 1) % n][tuple(sl)]
+        return np.concatenate([lo_override, self._tile(i), hi_override], axis=ax)
+
+    def write_tile(self, i, tile_interior):
+        self._store(i, tile_interior)
+
+    def head_strip(self, ghost):
+        sl = [slice(None)] * len(self.shape)
+        sl[self.tile_axis] = slice(0, ghost)
+        return self._lo[0][tuple(sl)].copy()
+
+    def compressed_nbytes(self):
+        return sum(len(b) for b in self._blobs)
+
+    def to_numpy(self):
+        return np.concatenate([self._tile(i) for i in range(self.num_tiles)], axis=self.tile_axis)
 
 
 def ooc_map(fn, ooc_arrays, ghost=1, out_index=0):
@@ -121,10 +220,10 @@ def ooc_map(fn, ooc_arrays, ghost=1, out_index=0):
         return result[tuple(sl)]
 
     # Writeback lags tile assembly by one iteration, so tile i's lo ghost
-    # always reads tile i-1's still-pristine tail from `data` directly;
-    # the only pre-sweep state a later tile needs after a writeback is the
-    # WRAP: the last tile's hi ghost = tile 0's head.  Cache just that.
-    head0 = {id(a): a.data[a._axis_slice(0, ghost)].copy() for a in outs}
+    # always reads tile i-1's still-pristine tail directly; the only
+    # pre-sweep state a later tile needs after a writeback is the WRAP:
+    # the last tile's hi ghost = tile 0's head.  Cache just that.
+    head0 = {id(a): a.head_strip(ghost) for a in outs}
 
     def _tiles(i):
         tiles = []
@@ -166,17 +265,25 @@ class OOCNSESolver:
     (fused on an accelerator when the config supports it).
     """
 
-    def __init__(self, stepper, num_tiles, steps_per_sweep=1, tier="auto"):
+    def __init__(self, stepper, num_tiles, steps_per_sweep=1, tier="auto", compression=None):
         self.stepper = stepper
         self.num_tiles = int(num_tiles)
         self.steps_per_sweep = int(steps_per_sweep)
         self.tier = tier
+        if compression not in (None, "zstd"):
+            raise ValueError(f"compression must be None or 'zstd', got {compression!r}")
+        self.compression = compression
 
     def prepare(self):
         f_0, f_1, bc_mask, missing_mask = self.stepper.prepare_fields()
-        self.f = OOCArray.from_array(np.asarray(f_0), num_tiles=self.num_tiles)
-        self.bc_mask = OOCArray.from_array(np.asarray(bc_mask), num_tiles=self.num_tiles)
-        self.missing_mask = OOCArray.from_array(np.asarray(missing_mask), num_tiles=self.num_tiles)
+        if self.compression == "zstd":
+            g = max(self.steps_per_sweep, 1)
+            mk = lambda a: CompressedOOCArray.from_array(np.asarray(a), num_tiles=self.num_tiles, ghost_cache=g)
+        else:
+            mk = lambda a: OOCArray.from_array(np.asarray(a), num_tiles=self.num_tiles)
+        self.f = mk(f_0)
+        self.bc_mask = mk(bc_mask)
+        self.missing_mask = mk(missing_mask)
         # free the on-device copies: from here the domain is host-resident
         del f_0, f_1
         return self
