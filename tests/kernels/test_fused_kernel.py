@@ -159,16 +159,18 @@ def test_pack_masks_roundtrip():
 
 
 def test_fused_rejects_unsupported_bc():
+    """A BC class the kernel has no epilogue for raises an actionable
+    NotImplementedError from the spec converter."""
     vs = init_env(D3Q19)
-    from xlb_tpu.boundary import HybridBC
-    from xlb_tpu.geometry import sphere_triangles
+    from xlb_tpu.boundary.base import BoundaryCondition, ImplementationStep
+    from xlb_tpu.kernels.fused_step import bc_to_spec
 
-    grid = grid_factory((16, 16, 16), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
-    bc = HybridBC(mesh_vertices=sphere_triangles(center=(8, 8, 8), radius=3, subdivisions=1))
-    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=[bc])
-    stepper.prepare_fields()
-    with pytest.raises(NotImplementedError):
-        build_fused_step(stepper, interpret=True)
+    class ExoticBC(BoundaryCondition):
+        def __init__(self):
+            super().__init__(ImplementationStep.STREAMING, vs, None, None, indices=[[0], [0], [0]])
+
+    with pytest.raises(NotImplementedError, match="ExoticBC"):
+        bc_to_spec(ExoticBC(), vs)
 
 
 def test_fused_extrapolation_outflow():

@@ -70,8 +70,32 @@ def _roll_lane(x, shift):
 
 
 def spec_uses_aux(spec):
-    """True when a BC spec needs the per-voxel prescribed-velocity field."""
-    return spec.get("mw") == "aux" or (isinstance(spec.get("value"), str) and spec["value"] == "aux")
+    """True when a BC spec needs a per-voxel aux channel (prescribed
+    velocity, or hybrid directional wall distances)."""
+    return (
+        (isinstance(spec.get("mw"), str) and spec["mw"] == "aux")
+        or (isinstance(spec.get("value"), str) and spec["value"] == "aux")
+        or (spec.get("kind") == "hybrid" and spec.get("use_dist"))
+    )
+
+
+def aux_layout(bc_specs, vs):
+    """Static channel layout of the aux side array shared by the kernel
+    body and ``fused_step.build_aux_field``: velocity channels first
+    (d, for spatial prescribed-velocity BCs), then hybrid wall-distance
+    weights (q, shared by every HybridBC -- each writes only its own
+    voxels, defaults 0.5 elsewhere).  Returns (u_off, w_off, nchan) with
+    None offsets for absent channel groups."""
+    has_u = any(
+        (isinstance(s.get("mw"), str) and s["mw"] == "aux")
+        or (isinstance(s.get("value"), str) and s["value"] == "aux")
+        for s in bc_specs
+    )
+    has_w = any(s.get("kind") == "hybrid" and s.get("use_dist") for s in bc_specs)
+    u_off = 0 if has_u else None
+    w_off = (vs.d if has_u else 0) if has_w else None
+    nchan = (vs.d if has_u else 0) + (vs.q if has_w else 0)
+    return u_off, w_off, nchan
 
 
 def _build_kernel_body(
@@ -79,6 +103,7 @@ def _build_kernel_body(
     smagorinsky_coef=0.17, shifted=False, has_solids=True, force_vector=None,
 ):
     use_aux = any(spec_uses_aux(s) for s in bc_specs)
+    aux_u_off, aux_w_off, _ = aux_layout(bc_specs, vs)
     """Returns the Pallas kernel body closure for a DdQq fused step.
 
     ``shifted=True`` stores populations in deviation form g_l = f_l - w_l
@@ -229,7 +254,7 @@ def _build_kernel_body(
 
         if spec["bc_type"] == "velocity":
             if isinstance(spec["value"], str) and spec["value"] == "aux":  # per-voxel prescribed velocity
-                u = [aux[a] for a in range(d)]
+                u = [jax.lax.index_in_dim(aux, aux_u_off + a, axis=0, keepdims=False) for a in range(d)]
                 unormal = None
                 for a in range(d):
                     t = normals[a] * u[a]
@@ -270,6 +295,94 @@ def _build_kernel_body(
                     qipi = term if qipi is None else qipi + term
                 out_bd.append(feq[l] + cdt(4.5 * w[l]) * (qipi if qipi is not None else 0.0))
             f_bd = out_bd
+
+        return [jnp.where(on, f_bd[l], f_s[l]) for l in range(q)]
+
+    def _qi_contract(pi):
+        """Per-direction Q_l : Pi contraction (list of q slabs)."""
+        qi = vs._qi  # (q, nt) static
+        out = []
+        for l in range(q):
+            acc = None
+            for t in range(qi.shape[1]):
+                coef = qi[l, t]
+                if coef == 0:
+                    continue
+                term = pi[t] * cdt(coef)
+                acc = term if acc is None else acc + term
+            out.append(acc)
+        return out
+
+    def _regularize_list(f_bd, feq):
+        """Latt-Chopard: feq + 4.5 w_l Q_l : Pi_neq (bc_hybrid.py:121-126)."""
+        pi = second_moment([f_bd[l] - feq[l] for l in range(q)])
+        qipi = _qi_contract(pi)
+        return [feq[l] + cdt(4.5 * w[l]) * qipi[l] if qipi[l] is not None else feq[l] for l in range(q)]
+
+    def _hybrid_epilogue(spec, on, missing, f_s, f_pre, aux):
+        """Hybrid curved-boundary closure (mirrors boundary/bc_hybrid.py,
+        reference bc_hybrid.py:39-391): interpolated bounce-back or Tao
+        one-point closure + regularization/Grad reconstruction.  Per-link
+        wall distances ride the aux field's weight channels when the BC
+        has mesh distances; otherwise the halfway value applies."""
+        method = spec["method"]
+        use_dist = spec["use_dist"]
+        mw = spec.get("mw")  # static per-l 6 w_l (c_l . u_wall), or None
+        miss = [missing(l) for l in range(q)]
+        if use_dist:
+            t_w = [jax.lax.index_in_dim(aux, aux_w_off + l, axis=0, keepdims=False) for l in range(q)]
+        else:
+            t_w = [cdt(0.5)] * q  # only the Tao closure reads these
+
+        if method in ("bounceback_regularized", "bounceback_grads"):
+            # Yu-Mei-Shyy single-node interpolated bounce-back
+            f_bd = []
+            for l in range(q):
+                if use_dist:
+                    interp = ((1.0 - t_w[l]) * f_s[opp[l]] + t_w[l] * (f_pre(l) + f_pre(opp[l]))) / (1.0 + t_w[l])
+                    # sandwich (both directions missing): plain bounce-back
+                    interp = jnp.where(jnp.logical_and(miss[l], miss[opp[l]]), f_pre(opp[l]), interp)
+                else:
+                    interp = f_pre(opp[l])
+                if mw is not None:
+                    interp = interp + cdt(mw[l])
+                f_bd.append(jnp.where(miss[l], interp, f_s[l]))
+            rho, u = moments(f_bd)
+            if method == "bounceback_regularized":
+                f_bd = _regularize_list(f_bd, equilibrium(rho, u))
+            else:  # Grad's approximation for the missing populations
+                pi = second_moment(f_bd)
+                diag = vs.diagonal_moment_indices
+                pi_dev = [pi[t] - rho / 3.0 if t in diag else pi[t] for t in range(len(pi))]
+                qipi = _qi_contract(pi_dev)
+                for l in range(q):
+                    cu = None
+                    for a in range(d):
+                        ca = c[a, l]
+                        if ca == 0:
+                            continue
+                        term = u[a] if ca == 1 else -u[a]
+                        cu = term if cu is None else cu + term
+                    grads = rho * cdt(w[l]) * (1.0 if cu is None else 1.0 + 3.0 * cu)
+                    if qipi[l] is not None:
+                        grads = grads + cdt(4.5 * w[l]) * qipi[l]
+                    f_bd[l] = jnp.where(miss[l], grads, f_bd[l])
+        else:  # nonequilibrium_regularized: Tao et al. one-point closure
+            fp = [f_pre(l) for l in range(q)]
+            rho_p, u_p = moments(fp)
+            feq_p = equilibrium(rho_p, u_p)
+            if mw is not None:
+                uw = spec["u_wall"]  # static (d,)
+                feq_w = equilibrium(rho_p, [jnp.full_like(rho_p, cdt(uw[a])) for a in range(d)])
+            else:
+                feq_w = [cdt(w[l]) * rho_p for l in range(q)]
+            f_bd = []
+            for l in range(q):
+                f_wall = feq_w[l] + (fp[opp[l]] - feq_p[opp[l]])
+                closed = (f_wall + t_w[l] * fp[l]) / (1.0 + t_w[l])
+                f_bd.append(jnp.where(miss[l], closed, f_s[l]))
+            rho2, u2 = moments(f_bd)
+            f_bd = _regularize_list(f_bd, equilibrium(rho2, u2))
 
         return [jnp.where(on, f_bd[l], f_s[l]) for l in range(q)]
 
@@ -321,7 +434,8 @@ def _build_kernel_body(
                             ca = c[a, l]
                             if ca == 0:
                                 continue
-                            t = aux[a] if ca == 1 else -aux[a]
+                            av = jax.lax.index_in_dim(aux, aux_u_off + a, axis=0, keepdims=False)
+                            t = av if ca == 1 else -av
                             cu = t if cu is None else cu + t
                         refl = f_pre(opp[l]) if cu is None else f_pre(opp[l]) + cdt(6.0 * w[l]) * cu
                     elif mw is None:
@@ -331,6 +445,8 @@ def _build_kernel_body(
                     f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
             elif kind in ("zouhe", "regularized"):
                 f_s = _zouhe_epilogue(spec, on, missing, f_s, aux)
+            elif kind == "hybrid":
+                f_s = _hybrid_epilogue(spec, on, missing, f_s, f_pre, aux)
             elif kind == "extrapolation_outflow":
                 # missing dirs take the staged values from the previous
                 # step's outgoing slots (bc_extrapolation_outflow.py:137-147)
@@ -537,7 +653,8 @@ def build_fused_collide_stream_3d(
     d = velocity_set.d
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs_f + [spec_mask]
     if kernel.use_aux:
-        in_specs.append(pl.BlockSpec((d, TX, TY, Z), lambda i, j: (0, i, j, 0)))
+        nchan = aux_layout(bc_specs, velocity_set)[2]
+        in_specs.append(pl.BlockSpec((nchan, TX, TY, Z), lambda i, j: (0, i, j, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nX, nY),

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xlb_tpu.kernels.collide_stream import _build_kernel_body
+from xlb_tpu.kernels.collide_stream import _build_kernel_body, aux_layout
 
 
 def build_fused_collide_stream_2d(
@@ -77,7 +77,7 @@ def build_fused_collide_stream_2d(
             pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem((i + 1) * r, nX8), 0)),
             pl.BlockSpec((TX, Y), lambda i: (i, 0)),
         ]
-        + ([pl.BlockSpec((velocity_set.d, TX, Y), lambda i: (0, i, 0))] if use_aux else []),
+        + ([pl.BlockSpec((aux_layout(list(bc_specs), velocity_set)[2], TX, Y), lambda i: (0, i, 0))] if use_aux else []),
         out_specs=pl.BlockSpec((q, TX, Y), lambda i: (0, i, 0)),
         scratch_shapes=[pltpu.VMEM((q, TX + 2, Y), compute_dtype)],
     )

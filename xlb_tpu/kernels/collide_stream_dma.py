@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xlb_tpu.kernels.collide_stream import _build_kernel_body
+from xlb_tpu.kernels.collide_stream import _build_kernel_body, aux_layout
 
 
 def _channel_ranges(channels):
@@ -210,7 +210,8 @@ def build_fused_collide_stream_3d_dma(
     if use_aux:
         if padded_halo:
             raise NotImplementedError("spatial-BC aux field is not yet plumbed through the padded-halo mode")
-        in_specs.append(pl.BlockSpec((velocity_set.d, TX, TY, Z), lambda i, j: (0, oi + i, oj + j, 0)))
+        nchan = aux_layout(list(bc_specs), velocity_set)[2]
+        in_specs.append(pl.BlockSpec((nchan, TX, TY, Z), lambda i, j: (0, oi + i, oj + j, 0)))
     if alias_output:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below
     grid_spec = pltpu.PrefetchScalarGridSpec(

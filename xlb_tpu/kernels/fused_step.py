@@ -4,11 +4,13 @@ Translates BC objects into static kernel epilogue specs, pre-packs the
 boolean ``missing_mask`` into an int32 direction bitfield (q <= 27 bits) and
 ``bc_mask`` into an int32 id field, and builds the fused step callable.
 
-BCs currently supported in-kernel: EquilibriumBC, DoNothingBC,
-FullwayBounceBackBC, HalfwayBounceBackBC (incl. constant moving wall) --
-the set exercised by the MLUPS benchmark protocol
-(reference examples/performance/mlups_3d.py:200-268) and the cavity
-examples.  Steppers with other BCs raise and should use the JAX tier.
+BCs supported in-kernel: EquilibriumBC, DoNothingBC, FullwayBounceBackBC,
+HalfwayBounceBackBC (incl. moving walls, constant or per-voxel spatial
+profiles), ZouHeBC + RegularizedBC (constant and spatial velocity,
+constant pressure), ExtrapolationOutflowBC (in-kernel staging), and
+HybridBC (all three curved-boundary methods, per-link mesh distances via
+the aux weight channels) -- the full reference BC surface.  Unknown BC
+classes raise and should use the JAX tier.
 """
 
 import numpy as np
@@ -48,6 +50,23 @@ def bc_to_spec(bc, velocity_set):
         return spec
     if isinstance(bc, ExtrapolationOutflowBC):
         return {"kind": "extrapolation_outflow", "id": bc.id, "step": step, "normal": np.asarray(bc.normal, dtype=np.int64)}
+    from xlb_tpu.boundary.bc_hybrid import HybridBC
+
+    if isinstance(bc, HybridBC):
+        spec = {
+            "kind": "hybrid",
+            "id": bc.id,
+            "step": step,
+            "method": bc.bc_method,
+            "use_dist": bool(bc.needs_mesh_distance),
+            "mw": None,
+        }
+        if bc.needs_moving_wall_treatment:
+            u_wall = np.asarray(bc.profile()).reshape(-1)
+            cu = vs._c.T.astype(np.float64) @ u_wall
+            spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
+            spec["u_wall"] = u_wall.astype(np.float64)
+        return spec
     if isinstance(bc, (ZouHeBC, RegularizedBC)):
         kind = "regularized" if isinstance(bc, RegularizedBC) else "zouhe"
         value = np.asarray(bc.prescribed_values, dtype=np.float64)
@@ -76,20 +95,53 @@ def _is_spatial_profile(bc):
 
 
 def build_aux_field(stepper):
-    """Assemble the per-voxel prescribed-velocity field for spatial BCs as
-    a host NumPy (d, *shape) array, or None when no BC needs it.  The TPU
+    """Assemble the per-voxel aux side array for spatial BCs as a host
+    NumPy (nchan, *shape) array, or None when no BC needs it.  The TPU
     analogue of the reference's f_1 aux-slot encoding
     (helper_functions_bc.py:371-501): spatial prescriptions ride a side
-    array fetched with each tile instead of stolen population slots."""
+    array fetched with each tile instead of stolen population slots.
+
+    Channel layout (must match ``collide_stream.aux_layout``): d velocity
+    channels first (spatial prescribed-velocity BCs), then q hybrid
+    wall-distance weight channels (0.5 default = halfway)."""
     vs = stepper.velocity_set
     shape = tuple(stepper.grid.shape)
+    from xlb_tpu.boundary.bc_hybrid import HybridBC
+
+    hybrids = [bc for bc in stepper.boundary_conditions if isinstance(bc, HybridBC) and bc.needs_mesh_distance]
     aux = None
+    nonhybrid_u = False
 
     def _ensure():
         nonlocal aux
         if aux is None:
-            aux = np.zeros((vs.d,) + shape, np.float32)
+            nchan = (vs.d if nonhybrid_u else 0) + (vs.q if hybrids else 0)
+            aux = np.zeros((nchan,) + shape, np.float32)
         return aux
+
+    # first pass: does any BC need the velocity channels?  (decides layout)
+    for bc in stepper.boundary_conditions:
+        if isinstance(bc, HalfwayBounceBackBC) and bc.needs_moving_wall_treatment and _is_spatial_profile(bc):
+            nonhybrid_u = True
+        elif isinstance(bc, (ZouHeBC, RegularizedBC)) and bc.bc_type == "velocity":
+            if np.asarray(bc.prescribed_values).size != vs.d:
+                nonhybrid_u = True
+
+    if hybrids:
+        w_off = vs.d if nonhybrid_u else 0
+        field = _ensure()
+        field[w_off : w_off + vs.q] = 0.5
+        for bc in hybrids:
+            if bc._distances is None:
+                raise NotImplementedError(
+                    "HybridBC mesh distances are computed during prepare_fields; build the fused kernel after it"
+                )
+            vals = np.where(np.isfinite(bc._distances), bc._distances, 0.5).astype(np.float32)
+            vals = np.clip(vals, 0.0, 1.0)
+            idx = np.asarray(bc._distance_voxels, dtype=np.int64)
+            keep = np.all((idx >= 0) & (idx < np.asarray(shape)[:, None]), axis=0)
+            for l in range(vs.q):
+                field[(w_off + l,) + tuple(idx[:, keep])] = vals[l, keep]
 
     for bc in stepper.boundary_conditions:
         if isinstance(bc, HalfwayBounceBackBC) and bc.needs_moving_wall_treatment and _is_spatial_profile(bc):
@@ -103,7 +155,7 @@ def build_aux_field(stepper):
             idx = np.asarray(bc.pad_indices(), dtype=np.int64)
             vals = np.asarray(bc.profile(idx.astype(np.float64)), dtype=np.float32)
             keep = np.all((idx >= 0) & (idx < np.asarray(shape)[:, None]), axis=0)
-            _ensure()[(slice(None),) + tuple(idx[:, keep])] = vals[:, keep]
+            _ensure()[(slice(0, vs.d),) + tuple(idx[:, keep])] = vals[:, keep]
         elif isinstance(bc, (ZouHeBC, RegularizedBC)) and bc.bc_type == "velocity":
             values = np.asarray(bc.prescribed_values, dtype=np.float32)
             if values.size == vs.d:
@@ -116,7 +168,7 @@ def build_aux_field(stepper):
 
             full = np.broadcast_to(_broadcast_prescribed(values, (vs.d,) + shape), (vs.d,) + shape)
             idx = np.asarray(bc.indices, dtype=np.int64)
-            _ensure()[(slice(None),) + tuple(idx)] = full[(slice(None),) + tuple(idx)]
+            _ensure()[(slice(0, vs.d),) + tuple(idx)] = full[(slice(None),) + tuple(idx)]
     return aux
 
 
