@@ -42,9 +42,19 @@ def ray_triangle_hits(origins, direction, triangles, eps=1e-12):
 def directional_wall_distances(triangles, voxels, directions):
     """Normalized distances (q, n): for voxel centers ``voxels`` (d, n) and
     lattice ``directions`` (d, q), the fraction t in [0, 1] of each lattice
-    link at which the mesh is crossed (inf when the link doesn't hit)."""
+    link at which the mesh is crossed (inf when the link doesn't hit).
+
+    Dispatches to the native C++ sweep (geometry/native/voxelizer.cpp)
+    when available -- ~100x the NumPy path on large shells (the shell x q
+    x triangles product reaches 10^8-10^9 tests at 256^3)."""
     triangles = np.asarray(triangles, dtype=np.float64)
     voxels = np.asarray(voxels, dtype=np.float64)
+    if voxels.shape[0] == 3:
+        from xlb_tpu.geometry.native import directional_distances_native
+
+        native = directional_distances_native(triangles, voxels, directions)
+        if native is not None:
+            return native
     d, n = voxels.shape
     origins = voxels.T  # (n, d) at voxel centers (integer coords)
     q = directions.shape[1]

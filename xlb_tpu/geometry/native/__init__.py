@@ -47,6 +47,7 @@ def _load():
         c_uint8_p = ctypes.POINTER(ctypes.c_uint8)
         lib.voxelize_ray.argtypes = [c_double_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, c_double_p, ctypes.c_double, c_uint8_p]
         lib.winding_numbers.argtypes = [c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64, c_double_p]
+        lib.directional_distances.argtypes = [c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64, c_double_p, ctypes.c_int64, c_double_p]
         lib.triangle_shell.argtypes = [c_double_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, c_double_p, ctypes.c_double, c_uint8_p]
         _lib = lib
     return _lib
@@ -90,6 +91,21 @@ def winding(tris, points):
     points = np.ascontiguousarray(points, dtype=np.float64)
     out = np.zeros(points.shape[0], dtype=np.float64)
     lib.winding_numbers(_dptr(tris), tris.shape[0], _dptr(points), points.shape[0], _dptr(out))
+    return out
+
+
+def directional_distances_native(tris, voxels, directions):
+    """Native Moller-Trumbore sweep for geometry.distances; None -> NumPy
+    fallback.  tris (m,3,3); voxels (d,n) centers; directions (d,q)."""
+    lib = _load()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(tris, dtype=np.float64)
+    origins = np.ascontiguousarray(np.asarray(voxels, dtype=np.float64).T)  # (n, 3)
+    dirs = np.ascontiguousarray(np.asarray(directions, dtype=np.float64).T)  # (q, 3)
+    n, q = origins.shape[0], dirs.shape[0]
+    out = np.empty((q, n), dtype=np.float64)
+    lib.directional_distances(_dptr(tris), tris.shape[0], _dptr(origins), n, _dptr(dirs), q, _dptr(out))
     return out
 
 

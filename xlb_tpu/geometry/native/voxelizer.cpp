@@ -160,4 +160,71 @@ void triangle_shell(const double* tris, int64_t ntri,
     }
 }
 
+
+// Moller-Trumbore directional wall distances for HybridBC curved
+// boundaries (xlb_tpu/geometry/distances.py fast path; same tolerances
+// as the NumPy implementation).  voxels: (n, 3) ray origins; dirs:
+// (q, 3) lattice directions (unnormalized); out: (q, n) normalized
+// hit parameter (t / |c|, +inf when the link misses every triangle).
+void directional_distances(const double* tris, int64_t ntri,
+                           const double* voxels, int64_t n,
+                           const double* dirs, int64_t q,
+                           double* out) {
+    const double INF = 1.0 / 0.0;
+    // precompute per-triangle edges
+    std::vector<double> e1(3 * ntri), e2(3 * ntri);
+    for (int64_t m = 0; m < ntri; ++m) {
+        const double* v = tris + 9 * m;
+        for (int k = 0; k < 3; ++k) {
+            e1[3 * m + k] = v[3 + k] - v[k];
+            e2[3 * m + k] = v[6 + k] - v[k];
+        }
+    }
+#pragma omp parallel for schedule(dynamic)
+    for (int64_t l = 0; l < q; ++l) {
+        const double* dv = dirs + 3 * l;
+        const double nrm = std::sqrt(dv[0] * dv[0] + dv[1] * dv[1] + dv[2] * dv[2]);
+        if (nrm == 0.0) {
+            for (int64_t i = 0; i < n; ++i) out[l * n + i] = INF;
+            continue;
+        }
+        const double d0 = dv[0] / nrm, d1 = dv[1] / nrm, d2 = dv[2] / nrm;
+        // per-(direction, triangle) constants: p = d x e2, det = e1 . p
+        std::vector<double> px(ntri), py(ntri), pz(ntri), inv_det(ntri);
+        std::vector<uint8_t> valid(ntri);
+        for (int64_t m = 0; m < ntri; ++m) {
+            const double* E2 = e2.data() + 3 * m;
+            const double* E1 = e1.data() + 3 * m;
+            const double cx = d1 * E2[2] - d2 * E2[1];
+            const double cy = d2 * E2[0] - d0 * E2[2];
+            const double cz = d0 * E2[1] - d1 * E2[0];
+            const double det = E1[0] * cx + E1[1] * cy + E1[2] * cz;
+            px[m] = cx; py[m] = cy; pz[m] = cz;
+            valid[m] = std::fabs(det) > 1e-12;
+            inv_det[m] = valid[m] ? 1.0 / det : 0.0;
+        }
+        for (int64_t i = 0; i < n; ++i) {
+            const double* o = voxels + 3 * i;
+            double tmin = INF;
+            for (int64_t m = 0; m < ntri; ++m) {
+                if (!valid[m]) continue;
+                const double* v0 = tris + 9 * m;
+                const double tvx = o[0] - v0[0], tvy = o[1] - v0[1], tvz = o[2] - v0[2];
+                const double u = (tvx * px[m] + tvy * py[m] + tvz * pz[m]) * inv_det[m];
+                if (u < -1e-9) continue;
+                const double* E1 = e1.data() + 3 * m;
+                const double qx = tvy * E1[2] - tvz * E1[1];
+                const double qy = tvz * E1[0] - tvx * E1[2];
+                const double qz = tvx * E1[1] - tvy * E1[0];
+                const double vv = (qx * d0 + qy * d1 + qz * d2) * inv_det[m];
+                if (vv < -1e-9 || u + vv > 1.0 + 1e-9) continue;
+                const double* E2 = e2.data() + 3 * m;
+                const double t = (qx * E2[0] + qy * E2[1] + qz * E2[2]) * inv_det[m];
+                if (t > 1e-12 && t < tmin) tmin = t;
+            }
+            out[l * n + i] = tmin / nrm;
+        }
+    }
+}
+
 }  // extern "C"
