@@ -2,7 +2,8 @@
 (reference examples/cfd/windtunnel_3d.py).
 
 D3Q27 KBC; EquilibriumBC inlet, ExtrapolationOutflowBC outlet, halfway
-bounce-back on the voxelized object, MomentumTransfer drag/lift integration.
+bounce-back or hybrid curved-boundary treatment on the voxelized object
+(--object-bc hybrid), MomentumTransfer drag/lift integration.
 """
 
 import sys as _sys, pathlib as _pl
@@ -23,7 +24,7 @@ from xlb_tpu.ops import Macroscopic, MomentumTransfer
 from xlb_tpu.utils import omega_from_reynolds
 
 
-def run(nx=96, nyz=48, re=200.0, u_in=0.04, num_steps=1000, stl=None, print_every=200, backend="jax"):
+def run(nx=96, nyz=48, re=200.0, u_in=0.04, num_steps=1000, stl=None, print_every=200, backend="jax", object_bc="halfway"):
     xlb.init(velocity_set=D3Q27(), default_backend=xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, nyz, nyz))
@@ -45,7 +46,15 @@ def run(nx=96, nyz=48, re=200.0, u_in=0.04, num_steps=1000, stl=None, print_ever
     bc_walls = FullwayBounceBackBC(indices=walls.tolist())
     bc_inlet = EquilibriumBC(rho=1.0, u=(u_in, 0.0, 0.0), indices=box_ne["left"])
     bc_outlet = ExtrapolationOutflowBC(indices=box_ne["right"])
-    bc_object = HalfwayBounceBackBC(mesh_vertices=tris)
+    if object_bc == "hybrid":
+        # curved-boundary treatment with per-link mesh distances (the
+        # reference's commented-out variant, windtunnel_3d.py:107-108);
+        # runs in the fused kernel via the aux weight channels
+        from xlb_tpu.boundary import HybridBC
+
+        bc_object = HybridBC(bc_method="nonequilibrium_regularized", mesh_vertices=tris)
+    else:
+        bc_object = HalfwayBounceBackBC(mesh_vertices=tris)
 
     stepper = IncompressibleNavierStokesStepper(
         grid, boundary_conditions=[bc_walls, bc_inlet, bc_outlet, bc_object], collision_type="KBC"
@@ -98,5 +107,6 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--stl", type=str, default=None)
     p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--object-bc", choices=["halfway", "hybrid"], default="halfway")
     args = p.parse_args()
-    run(nx=args.nx, nyz=args.nyz, num_steps=args.steps, stl=args.stl, backend=args.backend)
+    run(nx=args.nx, nyz=args.nyz, num_steps=args.steps, stl=args.stl, backend=args.backend, object_bc=args.object_bc)

@@ -45,6 +45,11 @@ def test_windtunnel_3d():
     assert len(drags) == 2 and all(np.isfinite(d) for d in drags)
 
 
+def test_windtunnel_3d_hybrid_object():
+    drags = _load("cfd/windtunnel_3d.py").run(nx=32, nyz=16, num_steps=60, print_every=30, object_bc="hybrid")
+    assert len(drags) == 2 and all(np.isfinite(d) for d in drags)
+
+
 def test_turbulent_channel_3d():
     profile = _load("cfd/turbulent_channel_3d.py").run(nx=16, ny=8, nz=16, num_steps=60)
     assert np.isfinite(profile).all()

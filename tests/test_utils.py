@@ -74,3 +74,44 @@ def test_usd_exports(tmp_path):
 def test_mlups_definition():
     # MLUPS = cells * steps / seconds / 1e6 (reference mlups_3d.py:265-268)
     assert mlups(256**3, 100, 10.0) == 256**3 * 100 / 10.0 / 1e6
+
+
+def test_downsample_field_shapes_and_mean():
+    import jax.numpy as jnp
+    from xlb_tpu.utils import downsample_field
+
+    f = jnp.ones((3, 16, 8)) * 2.5
+    g = downsample_field(f, 2)
+    assert g.shape == (3, 8, 4)
+    np.testing.assert_allclose(np.asarray(g), 2.5, rtol=1e-6)
+    assert downsample_field(f, 1) is f
+
+
+def test_rotate_geometry_quarter_turn():
+    from xlb_tpu.utils import rotate_geometry, axangle2mat
+
+    idx = np.array([[7], [5], [5]])  # +x of origin (5,5,5)
+    r = np.asarray(rotate_geometry(idx, origin=(5, 5, 5), axis=(0, 0, 1), angle=np.pi / 2))
+    # quarter turn about z maps (+2, 0) -> (0, +2) up to the matrix's sign convention
+    assert r[2, 0] == 5 and sorted([r[0, 0], r[1, 0]]) == [3, 5] or sorted([r[0, 0], r[1, 0]]) == [5, 7]
+    m = axangle2mat((0, 1, 0), 0.3)
+    np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
+
+
+def test_colorize_scalars_range_and_fallback():
+    from xlb_tpu.utils import colorize_scalars
+
+    rgb = colorize_scalars(np.array([0.0, 0.5, 1.0, np.nan]), value_range=(0.0, 1.0))
+    assert rgb.shape == (4, 3)
+    assert (rgb >= 0.0).all() and (rgb <= 1.0).all()
+
+
+def test_voxelize_stl_roundtrip(tmp_path):
+    from xlb_tpu.geometry import sphere_triangles, save_stl, voxelize_stl, solid_voxel_indices
+
+    p = tmp_path / "sphere.stl"
+    save_stl(str(p), sphere_triangles(center=(0, 0, 0), radius=4.0, subdivisions=2))
+    mask, pitch, origin = voxelize_stl(str(p), length_lbm_unit=16)
+    assert mask.any() and 0.2 < mask.mean() < 0.55
+    idx = solid_voxel_indices(mask)
+    assert idx.shape[0] == 3 and idx.shape[1] == mask.sum()

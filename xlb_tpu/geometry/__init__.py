@@ -7,7 +7,7 @@ from xlb_tpu.geometry.stl import (
     naca_airfoil_triangles,
     turbine_rotor_triangles,
 )
-from xlb_tpu.geometry.voxelize import MeshVoxelizationMethod, voxelize, winding_number, solid_voxel_indices
+from xlb_tpu.geometry.voxelize import MeshVoxelizationMethod, voxelize, voxelize_stl, winding_number, solid_voxel_indices
 from xlb_tpu.geometry.mesh_masker import assign_mesh_indices
 
 __all__ = [
@@ -20,6 +20,7 @@ __all__ = [
     "turbine_rotor_triangles",
     "MeshVoxelizationMethod",
     "voxelize",
+    "voxelize_stl",
     "winding_number",
     "solid_voxel_indices",
     "assign_mesh_indices",

@@ -194,3 +194,33 @@ def voxelize(triangles, shape, origin=(0.0, 0.0, 0.0), spacing=1.0, method=MeshV
 def solid_voxel_indices(solid_mask):
     """(3, n) indices of solid voxels, the format BCs expect."""
     return np.array(np.nonzero(solid_mask))
+
+
+def voxelize_stl(stl_filename, length_lbm_unit=None, transformation_matrix=None, pitch=None,
+                 method=MeshVoxelizationMethod.RAY, margin=2):
+    """Load an STL and voxelize it on a fitted grid (reference
+    xlb/utils/utils.py:248-284, minus the trimesh dependency).
+
+    ``pitch`` (voxel size in mesh units) or ``length_lbm_unit`` (the number
+    of voxels across the mesh's largest extent) sizes the grid; an optional
+    4x4 ``transformation_matrix`` is applied to the mesh first.  Returns
+    ``(solid_mask, pitch, origin)`` -- pair with
+    :func:`solid_voxel_indices` for BC index lists.
+    """
+    from xlb_tpu.geometry.stl import load_stl
+
+    if length_lbm_unit is None and pitch is None:
+        raise ValueError("Either 'length_lbm_unit' or 'pitch' must be provided!")
+    tris = load_stl(stl_filename)
+    if transformation_matrix is not None:
+        m = np.asarray(transformation_matrix, dtype=np.float64)
+        pts = tris.reshape(-1, 3)
+        tris = (pts @ m[:3, :3].T + m[:3, 3]).reshape(-1, 3, 3)
+    lo, hi = tris.min(axis=(0, 1)), tris.max(axis=(0, 1))
+    extent = float((hi - lo).max())
+    if pitch is None:
+        pitch = extent / float(length_lbm_unit)
+    shape = tuple(int(np.ceil(e / pitch)) + 2 * margin for e in (hi - lo))
+    origin = lo - margin * pitch
+    mask = voxelize(tris, shape, origin=origin, spacing=pitch, method=method)
+    return mask, float(pitch), origin
