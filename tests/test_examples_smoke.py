@@ -160,3 +160,10 @@ def test_taylor_green_vortex_3d_low_precision_storage():
 def test_ooc_autodiff():
     losses = _load("ooc_autodiff.py").run(n=32, num_tiles=2, num_sweeps=2, iters=3)
     assert losses[-1] < losses[0]
+
+
+def test_rayleigh_benard_2d():
+    nus = _load("cfd/rayleigh_benard_2d.py").run(nx=48, ny=24, num_steps=1500, window=500)
+    assert np.isfinite(nus).all()
+    # convection onset: heat transport beats pure conduction
+    assert nus[-1] > 1.05

@@ -42,6 +42,20 @@ def quadratic_equilibrium_np(rho, u, c, w):
     return rho * w * (1.0 + cu * (1.0 + 0.5 * cu) - usqr)
 
 
+def linear_equilibrium(phi, u, c, w, compute_dtype=None):
+    """First-order (linear) equilibrium for advection-diffusion:
+    geq_l = w_l phi (1 + 3 c_l . u).  phi (1, *spatial), u (d, *spatial).
+
+    The scalar LBM needs only the first velocity moment to recover the
+    advection term, so the quadratic terms are dropped (standard ADE-LBM;
+    an upgrade over the reference, whose PhysicsType.ADE is a placeholder).
+    """
+    dtype = compute_dtype or u.dtype
+    cu = 3.0 * stencil_contract(np.asarray(c).T, u)  # (q, *spatial), exact adds
+    w = np.asarray(w, dtype=np.dtype(dtype)).reshape((-1,) + (1,) * (u.ndim - 1))
+    return phi * w * (1.0 + cu)
+
+
 class Equilibrium(Operator):
     """Base class for equilibrium operators (parity with the reference hierarchy)."""
 
@@ -49,3 +63,10 @@ class Equilibrium(Operator):
 class QuadraticEquilibrium(Equilibrium):
     def __call__(self, rho, u):
         return quadratic_equilibrium(rho, u, self.velocity_set._c, self.velocity_set._w, self.compute_dtype)
+
+
+class LinearEquilibrium(Equilibrium):
+    """ADE equilibrium: geq_l = w_l phi (1 + 3 c_l . u)."""
+
+    def __call__(self, phi, u):
+        return linear_equilibrium(phi, u, self.velocity_set._c, self.velocity_set._w, self.compute_dtype)

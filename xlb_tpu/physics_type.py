@@ -5,4 +5,4 @@ from enum import Enum, auto
 
 class PhysicsType(Enum):
     NSE = auto()  # incompressible Navier-Stokes
-    ADE = auto()  # advection-diffusion (placeholder in the reference as well)
+    ADE = auto()  # advection-diffusion (implemented in models/ade.py; placeholder in the reference)
