@@ -49,7 +49,7 @@ def run(n=256, num_tiles=4, steps=40, steps_per_sweep=4, u_lid=0.03, omega=1.7, 
     solver = OOCNSESolver(stepper, num_tiles=num_tiles, steps_per_sweep=steps_per_sweep,
                           compression=compression).prepare()
     if compression:
-        raw = 19 * n**3 * 4
+        raw = 19 * n**3 * 4 + n**3 + 19 * n**3  # f (f32) + bc_mask (u8) + missing_mask (bool)
         comp = solver.f.compressed_nbytes() + solver.bc_mask.compressed_nbytes() + solver.missing_mask.compressed_nbytes()
         print(f"zstd tiles: {raw / comp:.1f}x compression at rest ({comp / 1e9:.2f} GB host RAM)")
 

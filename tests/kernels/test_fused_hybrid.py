@@ -70,3 +70,38 @@ def test_fused_hybrid_no_distance_and_moving_wall():
         ga, gb = fused(ga, gb, bm, mm, 1.5, t)
         ga, gb = gb, ga
     assert float(jnp.abs(fa - ga).max()) < 5e-6
+
+
+def test_fused_hybrid_differentiates_without_solids():
+    """Regression: the fused adjoint's f_pre liveness gate must include
+    'hybrid' (the epilogue reads f_pre in every branch).  An indices-based
+    HybridBC with no solid voxels (has_solids=False) exercises the gate."""
+    import jax
+
+    vs = init_env(D3Q19)
+    n = 16
+    grid = grid_factory((n, n, n), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    bcs = [
+        EquilibriumBC(rho=1.0, u=(0.02, 0.0, 0.0), indices=box_ne["left"]),
+        HybridBC(bc_method="bounceback_regularized", use_mesh_distance=False, indices=box["right"]),
+    ]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    assert not stepper.has_solids
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True)
+
+    def loss(f):
+        _, out = fused(f, f, bm, mm, 1.5, 0)
+        return jnp.sum(out**2)
+
+    g_fused = jax.grad(loss)(f0)
+
+    def loss_jnp(f):
+        _, out = stepper(f, f, bm, mm, 1.5, 0)
+        return jnp.sum(out**2)
+
+    g_jnp = jax.grad(loss_jnp)(f0)
+    assert np.isfinite(np.asarray(g_fused)).all()
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_jnp), rtol=1e-4, atol=1e-6)

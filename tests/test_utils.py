@@ -93,7 +93,8 @@ def test_rotate_geometry_quarter_turn():
     idx = np.array([[7], [5], [5]])  # +x of origin (5,5,5)
     r = np.asarray(rotate_geometry(idx, origin=(5, 5, 5), axis=(0, 0, 1), angle=np.pi / 2))
     # quarter turn about z maps (+2, 0) -> (0, +2) up to the matrix's sign convention
-    assert r[2, 0] == 5 and sorted([r[0, 0], r[1, 0]]) == [3, 5] or sorted([r[0, 0], r[1, 0]]) == [5, 7]
+    assert r[2, 0] == 5
+    assert sorted([r[0, 0], r[1, 0]]) in ([3, 5], [5, 7])
     m = axangle2mat((0, 1, 0), 0.3)
     np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-12)
 

@@ -137,12 +137,17 @@ class CompressedOOCArray(OOCArray):
         tile_shape = list(self.shape)
         tile_shape[self.tile_axis] = self.tile_extent
         self._tile_shape = tuple(tile_shape)
-        init = np.full(self._tile_shape, fill_value, dtype=self.dtype) if fill_value is not None else np.zeros(self._tile_shape, self.dtype)
         self._blobs = [None] * self.num_tiles
         self._lo = [None] * self.num_tiles  # first ghost_cache layers, uncompressed
         self._hi = [None] * self.num_tiles  # last ghost_cache layers, uncompressed
-        for i in range(self.num_tiles):
-            self._store(i, init)
+        # all tiles start identical: compress the fill tile ONCE and share
+        # the blob/edge strips (write_tile replaces refs, never mutates)
+        init = np.full(self._tile_shape, fill_value, dtype=self.dtype) if fill_value is not None else np.zeros(self._tile_shape, self.dtype)
+        self._store(0, init)
+        for i in range(1, self.num_tiles):
+            self._blobs[i] = self._blobs[0]
+            self._lo[i] = self._lo[0]
+            self._hi[i] = self._hi[0]
 
     @classmethod
     def from_array(cls, array, tile_axis=1, num_tiles=1, ghost_cache=8, level=1):
@@ -196,23 +201,30 @@ class CompressedOOCArray(OOCArray):
         return np.concatenate([self._tile(i) for i in range(self.num_tiles)], axis=self.tile_axis)
 
 
-def ooc_map(fn, ooc_arrays, ghost=1, out_index=0):
+def ooc_map(fn, ooc_arrays, ghost=1, out_index=0, extra_args=()):
     """Run ``fn`` tile-by-tile over padded tiles of the given OOCArrays
     (parity surface with the reference's OOCmap decorator,
     out_of_core.py:12-110).
 
-    ``fn(*padded_tiles) -> padded_out`` (or a tuple of padded outputs) must
-    be jittable; the valid interior of each output (ghost layers stripped
-    on the tiled axis) is written back to ``ooc_arrays[out_index]``
-    (``out_index`` may be a sequence for multi-output fns).  All tiles read
-    the PRE-sweep state of their neighbors; writeback is in place with
-    only the ghost-deep boundary strips cached.
+    ``fn(*padded_tiles, *extra_args) -> padded_out`` (or a tuple of padded
+    outputs) must be jittable; the valid interior of each output (ghost
+    layers stripped on the tiled axis) is written back to
+    ``ooc_arrays[out_index]`` (``out_index`` may be a sequence for
+    multi-output fns).  All tiles read the PRE-sweep state of their
+    neighbors; writeback is in place with only the ghost-deep boundary
+    strips cached.
+
+    Pass an ALREADY-JITTED ``fn`` (it is detected and not re-wrapped) when
+    calling ooc_map repeatedly -- a fresh closure per sweep would re-trace
+    and re-lower the whole per-slab window every sweep.  Sweep-varying
+    scalars (omega, ...) belong in ``extra_args`` so they ride as traced
+    arguments instead of baked constants.
     """
     out_indices = [out_index] if isinstance(out_index, int) else list(out_index)
     outs = [ooc_arrays[k] for k in out_indices]
     lead = outs[0]
     n, ax = lead.num_tiles, lead.tile_axis
-    jfn = jax.jit(fn)
+    jfn = fn if hasattr(fn, "lower") else jax.jit(fn)
 
     def _interior(result):
         sl = [slice(None)] * result.ndim
@@ -234,7 +246,7 @@ def ooc_map(fn, ooc_arrays, ghost=1, out_index=0):
 
     pending = None  # (tile index, device results) awaiting writeback
     for i in range(n):
-        results = jfn(*_tiles(i))  # enqueued asynchronously
+        results = jfn(*_tiles(i), *extra_args)  # enqueued asynchronously
         if not isinstance(results, (tuple, list)):
             results = (results,)
         if pending is not None:
@@ -288,12 +300,12 @@ class OOCNSESolver:
         del f_0, f_1
         return self
 
-    def run(self, num_steps, omega):
-        g = self.steps_per_sweep
-        if num_steps % g:
-            raise ValueError(f"num_steps {num_steps} must be a multiple of steps_per_sweep {g}")
-
-        stepper = self.stepper
+    def _tile_fn(self):
+        """Jitted padded-slab window (f, bc, miss, omega) -> f, cached on
+        the solver so every sweep (and every run) hits the compile cache."""
+        if getattr(self, "_tile_jit", None) is not None:
+            return self._tile_jit
+        stepper, g = self.stepper, self.steps_per_sweep
         tile_fn = None
         want_fused = self.tier == "fused" or (self.tier == "auto" and jax.default_backend() != "cpu")
         if want_fused:
@@ -304,16 +316,16 @@ class OOCNSESolver:
                 slab_shape[0] = self.f.tile_extent + 2 * g  # padded slab x-extent
                 window = build_fused_window(stepper, g, shape_override=tuple(slab_shape))
 
-                def tile_fn(f, bc, miss):
+                def tile_fn(f, bc, miss, omega):
                     a, _ = window(f, f, bc, miss, omega)
                     return a.astype(f.dtype)
-            except (NotImplementedError, AssertionError) as e:
+            except (NotImplementedError, AssertionError):
                 if self.tier == "fused":
                     raise
                 tile_fn = None  # auto: config unsupported by the fused window
         if tile_fn is None:
 
-            def tile_fn(f, bc, miss):
+            def tile_fn(f, bc, miss, omega):
                 def body(t, carry):
                     a, b = carry
                     a, b = stepper(a, b, bc, miss, omega, t)
@@ -322,6 +334,15 @@ class OOCNSESolver:
                 a, _ = jax.lax.fori_loop(0, g, body, (f, f))
                 return a
 
+        self._tile_jit = jax.jit(tile_fn)
+        return self._tile_jit
+
+    def run(self, num_steps, omega):
+        g = self.steps_per_sweep
+        if num_steps % g:
+            raise ValueError(f"num_steps {num_steps} must be a multiple of steps_per_sweep {g}")
+        jfn = self._tile_fn()
+        om = jnp.asarray(omega, dtype=jnp.float32)
         for _ in range(num_steps // g):
-            ooc_map(tile_fn, [self.f, self.bc_mask, self.missing_mask], ghost=g)
+            ooc_map(jfn, [self.f, self.bc_mask, self.missing_mask], ghost=g, extra_args=(om,))
         return self.f.to_numpy()

@@ -203,14 +203,15 @@ class OOCAdjointSolver:
                 return a
 
         self._window = window
+        self._window_jit = jax.jit(window)
         return window
 
     def forward(self, num_sweeps, omega):
         """Advance ``num_sweeps * steps_per_sweep`` LBM steps in place."""
-        window = self._window_fn()
-        tile_fn = lambda f, bc, miss: window(f, bc, miss, omega)
+        self._window_fn()
+        om = (jnp.asarray(omega, dtype=jnp.float32),)
         for _ in range(num_sweeps):
-            ooc_map(tile_fn, [self.f, self.bc_mask, self.missing_mask], ghost=self.g)
+            ooc_map(self._window_jit, [self.f, self.bc_mask, self.missing_mask], ghost=self.g, extra_args=om)
         return self.f.to_numpy()
 
     def loss_only(self, loss_tile_fn, num_sweeps, omega, f_init=None):
@@ -248,11 +249,11 @@ class OOCAdjointSolver:
         # forward, storing checkpoints at the cadence
         checkpoints = {}
         window = self._window_fn()
-        tile_fn = lambda f, bc, miss: window(f, bc, miss, omega)
+        om = (jnp.asarray(omega, dtype=jnp.float32),)
         for s in range(num_sweeps):
             if s % self.checkpoint_every == 0:
                 checkpoints[s] = self.f.data.copy()
-            ooc_map(tile_fn, [self.f, self.bc_mask, self.missing_mask], ghost=self.g)
+            ooc_map(self._window_jit, [self.f, self.bc_mask, self.missing_mask], ghost=self.g, extra_args=om)
 
         # loss + its cotangent, tile by tile (voxel-local: no ghost)
         ax, ext, n = self.f.tile_axis, self.f.tile_extent, self.f.num_tiles
@@ -278,7 +279,7 @@ class OOCAdjointSolver:
             if seg_end - seg_start > 1:
                 self.f.data[...] = checkpoints[seg_start]
                 for s in range(seg_start, seg_end - 1):
-                    ooc_map(tile_fn, [self.f, self.bc_mask, self.missing_mask], ghost=self.g)
+                    ooc_map(self._window_jit, [self.f, self.bc_mask, self.missing_mask], ghost=self.g, extra_args=om)
                     states.append(self.f.data.copy())
             for s in range(seg_end - 1, seg_start - 1, -1):
                 f_prev = OOCArray.from_array(states[s - seg_start], num_tiles=self.num_tiles)

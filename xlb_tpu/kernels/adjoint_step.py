@@ -99,7 +99,8 @@ def build_fused_adjoint_3d(
     ch_xhi = _channel_ranges(np.nonzero(c[0] == -1)[0].tolist())
 
     # the solid keep-out and any f_pre-reading BC make fp inputs live
-    need_fp = has_solids or any(s["kind"] in ("do_nothing", "halfway") for s in bc_specs)
+    # (hybrid epilogues read f_pre in every method branch)
+    need_fp = has_solids or any(s["kind"] in ("do_nothing", "halfway", "hybrid") for s in bc_specs)
 
     # primal buffer: depth-2 x halo (K=2 layout), 8-row y blocks
     BXf, BYf = TX + 4, TY + 16

@@ -82,28 +82,30 @@ def spec_uses_aux(spec):
 def aux_layout(bc_specs, vs):
     """Static channel layout of the aux side array shared by the kernel
     body and ``fused_step.build_aux_field``: velocity channels first
-    (d, for spatial prescribed-velocity BCs), then hybrid wall-distance
-    weights (q, shared by every HybridBC -- each writes only its own
-    voxels, defaults 0.5 elsewhere).  Returns (u_off, w_off, nchan) with
-    None offsets for absent channel groups."""
+    (d, for spatial prescribed-velocity BCs), then one q-channel block of
+    wall-distance weights PER HybridBC-with-distances (keyed by BC id, so
+    overlapping dilated shells of two meshes cannot clobber each other).
+    Returns (u_off, w_offs, nchan): ``w_offs`` maps BC id -> channel
+    offset; ``u_off`` is None when no BC needs the velocity channels."""
     has_u = any(
         (isinstance(s.get("mw"), str) and s["mw"] == "aux")
         or (isinstance(s.get("value"), str) and s["value"] == "aux")
         for s in bc_specs
     )
-    has_w = any(s.get("kind") == "hybrid" and s.get("use_dist") for s in bc_specs)
     u_off = 0 if has_u else None
-    w_off = (vs.d if has_u else 0) if has_w else None
-    nchan = (vs.d if has_u else 0) + (vs.q if has_w else 0)
-    return u_off, w_off, nchan
+    off = vs.d if has_u else 0
+    w_offs = {}
+    for s in bc_specs:
+        if s.get("kind") == "hybrid" and s.get("use_dist"):
+            w_offs[s["id"]] = off
+            off += vs.q
+    return u_off, w_offs, off
 
 
 def _build_kernel_body(
     vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY,
     smagorinsky_coef=0.17, shifted=False, has_solids=True, force_vector=None,
 ):
-    use_aux = any(spec_uses_aux(s) for s in bc_specs)
-    aux_u_off, aux_w_off, _ = aux_layout(bc_specs, vs)
     """Returns the Pallas kernel body closure for a DdQq fused step.
 
     ``shifted=True`` stores populations in deviation form g_l = f_l - w_l
@@ -112,6 +114,8 @@ def _build_kernel_body(
     storage accurate for low-Mach flows (classic well-conditioning trick;
     the reference's Neumaier-compensated sums address the same roundoff).
     """
+    use_aux = any(spec_uses_aux(s) for s in bc_specs)
+    aux_u_off, aux_w_offs, _ = aux_layout(bc_specs, vs)
     q, d = vs.q, vs.d
     c = vs._c  # (3, q) static
     w = vs._w
@@ -330,7 +334,8 @@ def _build_kernel_body(
         mw = spec.get("mw")  # static per-l 6 w_l (c_l . u_wall), or None
         miss = [missing(l) for l in range(q)]
         if use_dist:
-            t_w = [jax.lax.index_in_dim(aux, aux_w_off + l, axis=0, keepdims=False) for l in range(q)]
+            w_off = aux_w_offs[spec["id"]]
+            t_w = [jax.lax.index_in_dim(aux, w_off + l, axis=0, keepdims=False) for l in range(q)]
         else:
             t_w = [cdt(0.5)] * q  # only the Tao closure reads these
 

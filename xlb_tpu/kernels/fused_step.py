@@ -115,7 +115,7 @@ def build_aux_field(stepper):
     def _ensure():
         nonlocal aux
         if aux is None:
-            nchan = (vs.d if nonhybrid_u else 0) + (vs.q if hybrids else 0)
+            nchan = (vs.d if nonhybrid_u else 0) + vs.q * len(hybrids)
             aux = np.zeros((nchan,) + shape, np.float32)
         return aux
 
@@ -128,20 +128,23 @@ def build_aux_field(stepper):
                 nonhybrid_u = True
 
     if hybrids:
-        w_off = vs.d if nonhybrid_u else 0
+        # per-BC q-channel blocks in boundary-condition order -- matches
+        # aux_layout's bc_specs walk (same underlying list, keyed by id)
         field = _ensure()
-        field[w_off : w_off + vs.q] = 0.5
+        w_off = vs.d if nonhybrid_u else 0
         for bc in hybrids:
             if bc._distances is None:
                 raise NotImplementedError(
                     "HybridBC mesh distances are computed during prepare_fields; build the fused kernel after it"
                 )
+            field[w_off : w_off + vs.q] = 0.5
             vals = np.where(np.isfinite(bc._distances), bc._distances, 0.5).astype(np.float32)
             vals = np.clip(vals, 0.0, 1.0)
             idx = np.asarray(bc._distance_voxels, dtype=np.int64)
             keep = np.all((idx >= 0) & (idx < np.asarray(shape)[:, None]), axis=0)
             for l in range(vs.q):
                 field[(w_off + l,) + tuple(idx[:, keep])] = vals[l, keep]
+            w_off += vs.q
 
     for bc in stepper.boundary_conditions:
         if isinstance(bc, HalfwayBounceBackBC) and bc.needs_moving_wall_treatment and _is_spatial_profile(bc):

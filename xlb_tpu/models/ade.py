@@ -29,7 +29,7 @@ import numpy as np
 from xlb_tpu.boundary.base import ImplementationStep
 from xlb_tpu.models.stepper import Stepper
 from xlb_tpu.ops.stream import Stream
-from xlb_tpu.ops.equilibrium import LinearEquilibrium, quadratic_equilibrium
+from xlb_tpu.ops.equilibrium import LinearEquilibrium
 from xlb_tpu.ops.macroscopic import density
 
 
@@ -136,6 +136,13 @@ class ThermalNSEStepper:
     """
 
     def __init__(self, nse, ade, beta=1e-3, gravity=None, phi_ref=0.0):
+        from xlb_tpu.compute_backend import ComputeBackend
+
+        if nse.compute_backend == ComputeBackend.PALLAS or nse.streaming_scheme != "pull":
+            raise NotImplementedError(
+                "ThermalNSEStepper needs the jnp-tier pull stepper (the per-voxel "
+                "buoyancy rides _step_pull's force_field hook)"
+            )
         self.nse = nse
         self.ade = ade
         self.beta = float(beta)
@@ -146,34 +153,17 @@ class ThermalNSEStepper:
 
     def __call__(self, f_0, f_1, g_0, g_1, bc_f, miss_f, bc_g, miss_g, omega, omega_phi, timestep=0):
         nse, ade = self.nse, self.ade
-        pp = nse.precision_policy
-        vs = nse.velocity_set
 
-        # scalar field BEFORE the step (drives this step's buoyancy)
+        # scalar field BEFORE the step drives this step's buoyancy
         phi = ade.phi(g_0)
-
-        # NSE step with per-voxel exact-difference buoyancy
-        f_0c = pp.cast_to_compute(f_0)
-        f_post_stream = nse.stream(f_0c)
-        for bc in nse.boundary_conditions:
-            if bc.implementation_step == ImplementationStep.STREAMING:
-                f_post_stream = bc(f_0c, f_post_stream, bc_f, miss_f)
-        rho, u = nse.macroscopic(f_post_stream)
-        feq = nse.equilibrium(rho, u)
-        f_post = nse.collision(f_post_stream, feq, omega)
-        # exact difference with spatially varying force (ops/force.py:28-45
-        # generalized to a field; same rho_0 = 1 convention): delta_u = F
-        grav = jnp.asarray(self.gravity, dtype=u.dtype).reshape((-1,) + (1,) * (u.ndim - 1))
+        grav = jnp.asarray(self.gravity, dtype=phi.dtype).reshape((-1,) + (1,) * (phi.ndim - 1))
         force = -self.beta * (phi - self.phi_ref) * grav
-        feq_shift = quadratic_equilibrium(rho, u + force, vs._c, vs._w, u.dtype)
-        f_post = f_post + (feq_shift - feq)
-        for bc in nse.boundary_conditions:
-            f_post = bc.assemble_auxiliary_data(f_post_stream, f_post, bc_f, miss_f)
-            if bc.implementation_step == ImplementationStep.COLLISION:
-                f_post = bc(f_post_stream, f_post, bc_f, miss_f)
-        f_0, f_1 = f_0, pp.cast_to_store(f_post)
 
-        # ADE step advected by the post-stream velocity
+        # NSE step via the stepper's own pull path + force_field hook
+        f_0, f_1 = nse._step_pull(f_0, f_1, bc_f, miss_f, omega, timestep, force_field=force)
+
+        # ADE step advected by the post-stream velocity of the UPDATED f
+        _, u = nse.macroscopic(nse.precision_policy.cast_to_compute(f_1))
         g_0, g_1 = ade(g_0, g_1, bc_g, miss_g, omega_phi, u, timestep)
         return f_0, f_1, g_0, g_1
 

@@ -152,7 +152,7 @@ class IncompressibleNavierStokesStepper(Stepper):
             return self._step_pull(f_0, f_1, bc_mask, missing_mask, omega, timestep)
         return self._step_push(f_0, f_1, bc_mask, missing_mask, omega, timestep)
 
-    def _step_pull(self, f_0, f_1, bc_mask, missing_mask, omega, timestep):
+    def _step_pull(self, f_0, f_1, bc_mask, missing_mask, omega, timestep, force_field=None):
         pp = self.precision_policy
         f_0c = pp.cast_to_compute(f_0)
 
@@ -164,6 +164,16 @@ class IncompressibleNavierStokesStepper(Stepper):
         rho, u = self.macroscopic(f_post_stream)
         feq = self.equilibrium(rho, u)
         f_post_collision = self.collision(f_post_stream, feq, omega)
+
+        if force_field is not None:
+            # per-voxel exact-difference forcing (the field generalization
+            # of ops/force.py ExactDifference, same rho_0 = 1 convention):
+            # used by the Boussinesq thermal coupling (models/ade.py)
+            from xlb_tpu.ops.equilibrium import quadratic_equilibrium
+
+            vs = self.velocity_set
+            feq_shift = quadratic_equilibrium(rho, u + force_field.astype(u.dtype), vs._c, vs._w, u.dtype)
+            f_post_collision = f_post_collision + (feq_shift - feq)
 
         for bc in self.boundary_conditions:
             f_post_collision = bc.assemble_auxiliary_data(f_post_stream, f_post_collision, bc_mask, missing_mask)

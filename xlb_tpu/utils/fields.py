@@ -71,9 +71,8 @@ def colorize_scalars(scalars, value_range=None, percentiles=(5, 95), cmap="virid
         hi = lo + 1.0
     t = np.clip(np.nan_to_num((vals - lo) / (hi - lo)), 0.0, 1.0)
     try:
-        import matplotlib.cm as cm
-
-        return np.asarray(cm.get_cmap(cmap)(t))[:, :3]
-    except Exception:
+        import matplotlib
+    except ImportError:
         # dependency-free fallback gradient blue -> red
         return np.stack([t, 0.2 * np.ones_like(t), 1.0 - t], axis=1)
+    return np.asarray(matplotlib.colormaps[cmap](t))[:, :3]
