@@ -49,7 +49,8 @@ def benchmark(cube_edge, num_steps, backend_tier, velocity_set_name, collision, 
         from xlb_tpu.kernels.fused_step import build_fused_window
 
         run_window = build_fused_window(
-            stepper, num_steps, tile=tile, interpret=jax.default_backend() == "cpu", temporal_steps=temporal_steps
+            stepper, num_steps, tile=tile, interpret=jax.default_backend() == "cpu",
+            temporal_steps=temporal_steps, donate=True
         )
     else:
         if backend_tier == "pallas":

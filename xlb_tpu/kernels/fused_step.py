@@ -13,6 +13,8 @@ the aux weight channels) -- the full reference BC surface.  Unknown BC
 classes raise and should use the JAX tier.
 """
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -344,7 +346,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
     return step
 
 
-def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None, temporal_steps=None, shape_override=None):
+def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None, temporal_steps=None, shape_override=None, donate=False):
     """A jitted ``num_steps``-window of the fused step with optional
     deviation-form (shifted) storage between steps.
 
@@ -463,7 +465,10 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
 
     w_shift = vs._w.reshape((vs.q,) + (1,) * vs.d).astype(np.dtype(pp.store_dtype))
 
-    @jax.jit
+    # donate=True frees the caller's population buffers for reuse inside
+    # the window -- required headroom for domains near the HBM limit
+    # (callers must then treat their f_0/f_1 as consumed)
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def _run(f_0, f_1, bc_mask, missing_mask, omega, aux):
         mask_i32 = pack_masks(bc_mask, missing_mask)
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
