@@ -34,7 +34,7 @@ def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3, mre
 
     strategy = MresPerfOptimizationType.from_string(mres_perf)
     sim = MultiresSimulationManager(grid, omega_finest=1.6, mres_perf_opt=strategy)
-    sim.run(num_coarse_steps)  # compile the window + warm up
+    sim.run(num_coarse_steps, window=num_coarse_steps)  # compile the window + warm up
 
     # per-level weighted updates per coarse step: level l runs 2^(L-1-l)
     # sub-steps of its own cell count
@@ -47,7 +47,7 @@ def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3, mre
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        sim.run(num_coarse_steps)  # one dispatch
+        sim.run(num_coarse_steps, window=num_coarse_steps)  # one dispatch
         # force execution with a scalar fetch
         float(sim.f_0[0][0].sum())
         best = min(best, time.perf_counter() - t0)
