@@ -105,6 +105,7 @@ def aux_layout(bc_specs, vs):
 def _build_kernel_body(
     vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY,
     smagorinsky_coef=0.17, shifted=False, has_solids=True, force_vector=None,
+    ade=False,
 ):
     """Returns the Pallas kernel body closure for a DdQq fused step.
 
@@ -113,9 +114,23 @@ def _build_kernel_body(
     the full mantissa on the physically-varying part, which makes 16-bit
     storage accurate for low-Mach flows (classic well-conditioning trick;
     the reference's Neumaier-compensated sums address the same roundoff).
+
+    ``ade=True`` builds the advection-diffusion variant (models/ade.py):
+    the zeroth moment is the transported scalar, the ADVECTING velocity
+    arrives as d per-voxel aux channels, and the equilibrium is linear
+    (geq_l = w_l phi (1 + 3 c.u)); BGK only, voxel-local BC kinds only.
     """
-    use_aux = any(spec_uses_aux(s) for s in bc_specs)
-    aux_u_off, aux_w_offs, _ = aux_layout(bc_specs, vs)
+    if ade:
+        assert collision == "BGK", "fused ADE supports BGK relaxation only"
+        allowed = {"equilibrium", "do_nothing", "halfway", "fullway"}
+        bad = [s["kind"] for s in bc_specs if s["kind"] not in allowed]
+        if bad:
+            raise NotImplementedError(f"fused ADE supports BC kinds {sorted(allowed)}; got {bad}")
+        use_aux = True
+        aux_u_off, aux_w_offs = 0, {}
+    else:
+        use_aux = any(spec_uses_aux(s) for s in bc_specs)
+        aux_u_off, aux_w_offs, _ = aux_layout(bc_specs, vs)
     q, d = vs.q, vs.d
     c = vs._c  # (3, q) static
     w = vs._w
@@ -461,9 +476,28 @@ def _build_kernel_body(
                 raise ValueError(f"BC kind {kind!r} not supported in fused kernel")
 
         # ---- moments + equilibrium + collision ----------------------------
-        rho, u = moments(f_s)
-        feq = equilibrium(rho, u)
-        f_out = collide(f_s, feq, omega)
+        if ade:
+            # scalar transport: phi = sum g; u is the externally-prescribed
+            # advecting velocity from the aux channels; linear equilibrium
+            rho = f_s[0]
+            for l in range(1, q):
+                rho = rho + f_s[l]
+            u = [jax.lax.index_in_dim(aux, aux_u_off + a, axis=0, keepdims=False) for a in range(d)]
+            feq = []
+            for l in range(q):
+                cu = None
+                for a in range(d):
+                    ca = c[a, l]
+                    if ca == 0:
+                        continue
+                    t = u[a] if ca == 1 else -u[a]
+                    cu = t if cu is None else cu + t
+                feq.append(rho * cdt(w[l]) * (1.0 if cu is None else 1.0 + 3.0 * cu))
+            f_out = [f_s[l] - omega * (f_s[l] - feq[l]) for l in range(q)]
+        else:
+            rho, u = moments(f_s)
+            feq = equilibrium(rho, u)
+            f_out = collide(f_s, feq, omega)
 
         # exact-difference body force (Kupershtokh; ops/force.py:28-45,
         # reference exact_difference_force.py:14-76): f += feq(rho, u+F) - feq

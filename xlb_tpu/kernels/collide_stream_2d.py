@@ -38,6 +38,7 @@ def build_fused_collide_stream_2d(
     shifted=False,
     has_solids=True,
     force_vector=None,
+    ade=False,
 ):
     X, Y = shape
     TX = tile_x
@@ -48,7 +49,7 @@ def build_fused_collide_stream_2d(
     r = TX // 8
     nX8 = X // 8
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted, has_solids=has_solids, force_vector=force_vector, ade=ade)
     compute_from_ext = body.compute_from_ext
     cdt = compute_dtype
 
@@ -77,7 +78,7 @@ def build_fused_collide_stream_2d(
             pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem((i + 1) * r, nX8), 0)),
             pl.BlockSpec((TX, Y), lambda i: (i, 0)),
         ]
-        + ([pl.BlockSpec((aux_layout(list(bc_specs), velocity_set)[2], TX, Y), lambda i: (0, i, 0))] if use_aux else []),
+        + ([pl.BlockSpec((velocity_set.d if ade else aux_layout(list(bc_specs), velocity_set)[2], TX, Y), lambda i: (0, i, 0))] if use_aux else []),
         out_specs=pl.BlockSpec((q, TX, Y), lambda i: (0, i, 0)),
         scratch_shapes=[pltpu.VMEM((q, TX + 2, Y), compute_dtype)],
     )

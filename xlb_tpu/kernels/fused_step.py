@@ -346,6 +346,53 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
     return step
 
 
+def build_fused_ade_step(stepper, tile=None, interpret=None):
+    """PALLAS-tier advection-diffusion step (models/ade.py): one HBM pass
+    of stream + voxel-local BCs + linear-equilibrium BGK relaxation, with
+    the ADVECTING velocity streamed in per tile as d aux channels (it
+    changes every step in coupled flows, so it rides as a kernel ARGUMENT,
+    unlike the build-time aux constants of the NSE step).
+
+    Returns ``(g_0, g_1, bc_mask, missing_mask, omega_phi, u, timestep) ->
+    (g_0, g_1)``.  Forward-only (no custom_vjp) -- differentiate through
+    the jnp tier.
+    """
+    vs = stepper.velocity_set
+    shape = tuple(stepper.grid.shape)
+    pp = stepper.precision_policy
+    bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if vs.d == 2:
+        from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
+
+        fused = build_fused_collide_stream_2d(
+            vs, shape, collision="BGK", bc_specs=bc_specs,
+            compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+            tile_x=(tile[0] if tile else _auto_tile_x(shape[0])),
+            interpret=interpret, has_solids=getattr(stepper, "has_solids", True), ade=True,
+        )
+    else:
+        from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
+
+        if shape[2] % 128 != 0:
+            raise NotImplementedError("fused ADE needs a 128-multiple z extent (manual-DMA lane rule)")
+        fused = build_fused_collide_stream_3d_dma(
+            vs, shape, collision="BGK", bc_specs=bc_specs,
+            compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+            tile=tile or _auto_tile(shape), interpret=interpret,
+            has_solids=getattr(stepper, "has_solids", True), ade=True,
+        )
+
+    def step(g_0, g_1, bc_mask, missing_mask, omega_phi, u, timestep=0):
+        mask_i32 = pack_masks(bc_mask, missing_mask)
+        omega_c = jnp.asarray(omega_phi, dtype=pp.compute_dtype)
+        return g_0, fused(g_0, mask_i32, omega_c, aux=u.astype(jnp.float32))
+
+    return step
+
+
 def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None, temporal_steps=None, shape_override=None, donate=False):
     """A jitted ``num_steps``-window of the fused step with optional
     deviation-form (shifted) storage between steps.

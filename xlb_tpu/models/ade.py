@@ -58,6 +58,14 @@ class AdvectionDiffusionStepper(Stepper):
         self.stream = Stream(**common)
         self.equilibrium = LinearEquilibrium(**common)
 
+        self._pallas_step = None
+        from xlb_tpu.compute_backend import ComputeBackend
+
+        if self.compute_backend == ComputeBackend.PALLAS:
+            from xlb_tpu.kernels.fused_step import build_fused_ade_step
+
+            self._pallas_step = build_fused_ade_step(self)
+
     def prepare_fields(self, phi_init=None):
         """Allocate (g_0, g_1, bc_mask, missing_mask); ``phi_init`` is an
         optional (1, *shape) or (*shape) initial scalar field (default 0)."""
@@ -100,6 +108,8 @@ class AdvectionDiffusionStepper(Stepper):
         return density(self.precision_policy.cast_to_compute(g))
 
     def __call__(self, g_0, g_1, bc_mask, missing_mask, omega_phi, u, timestep=0):
+        if self._pallas_step is not None:
+            return self._pallas_step(g_0, g_1, bc_mask, missing_mask, omega_phi, u, timestep)
         pp = self.precision_policy
         g_0c = pp.cast_to_compute(g_0)
 
