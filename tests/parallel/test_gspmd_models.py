@@ -95,3 +95,35 @@ def test_gspmd_sharded_ibm_matches_single_device():
     sa, sb, _ = step_s(f0s, f1s, bms, mms)
     sa2, sb2, _ = step_s(sa, sb, bms, mms)
     np.testing.assert_allclose(np.asarray(sb2), ref, rtol=1e-5, atol=1e-7)
+
+
+def test_gspmd_sharded_ade_matches_single_device():
+    """The advection-diffusion stepper distributes under GSPMD like the
+    other jnp-tier models (scalar transport on sharded fields)."""
+    from xlb_tpu.models.ade import AdvectionDiffusionStepper
+
+    vs = init_env(D2Q9)
+    n = 32
+    grid = grid_factory((n, n), mesh_shape=(1, 1), devices=jax.devices()[:1])
+    stepper = AdvectionDiffusionStepper(grid)
+    x = np.arange(n) - n / 2
+    xx, yy = np.meshgrid(x, x, indexing="ij")
+    phi0 = np.exp(-(xx**2 + yy**2) / 32).astype(np.float32)
+    g0, g1, bm, mm = stepper.prepare_fields(phi_init=phi0)
+    u = jnp.zeros((2, n, n), jnp.float32).at[0].set(0.04)
+
+    step = jax.jit(lambda g0, g1: stepper(g0, g1, bm, mm, 1.3, u, 0))
+    ra, rb = step(g0, g1)
+    ra2, rb2 = step(rb, ra)
+    ref = np.asarray(rb2)
+
+    mesh = _mesh()
+    g0s = _shard(mesh, g0, P(None, "x"))
+    g1s = _shard(mesh, g1, P(None, "x"))
+    bms = _shard(mesh, bm, P(None, "x"))
+    mms = _shard(mesh, mm, P(None, "x"))
+    us = _shard(mesh, u, P(None, "x"))
+    step_s = jax.jit(lambda g0, g1: stepper(g0, g1, bms, mms, 1.3, us, 0))
+    sa, sb = step_s(g0s, g1s)
+    sa2, sb2 = step_s(sb, sa)
+    np.testing.assert_allclose(np.asarray(sb2), ref, rtol=1e-6, atol=1e-8)
