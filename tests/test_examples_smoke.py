@@ -167,3 +167,15 @@ def test_rayleigh_benard_2d():
     assert np.isfinite(nus).all()
     # convection onset: heat transport beats pure conduction
     assert nus[-1] > 1.05
+
+
+def test_mlups_3d_cli():
+    m = _load("performance/mlups_3d.py").benchmark(
+        16, 4, "pallas", "D3Q19", "BGK", "FP32FP32", warmup=1, reps=1, tile=(8, 8), window=True
+    )
+    assert m > 0
+
+
+def test_mlups_2d_cli():
+    m = _load("performance/mlups_2d.py").benchmark(64, 8, "pallas", "FP32FP32", warmup=1, reps=1)
+    assert m > 0
