@@ -29,7 +29,7 @@ from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC
 from xlb_tpu.ops import Macroscopic
 
 
-def run(nx=128, ny=64, rayleigh=5e4, prandtl=0.71, num_steps=4000, window=500, beta=5e-4):
+def run(nx=128, ny=64, rayleigh=5e4, prandtl=0.71, num_steps=4000, window=500, beta=5e-4, backend="jax"):
     xlb.init(velocity_set=D2Q9(), default_backend=xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, ny))
@@ -43,12 +43,14 @@ def run(nx=128, ny=64, rayleigh=5e4, prandtl=0.71, num_steps=4000, window=500, b
     omega_phi = omega_from_diffusivity(D)
     print(f"Ra={rayleigh:.0f} Pr={prandtl}: nu={nu:.4f} (omega={omega:.3f}), D={D:.4f} (omega_phi={omega_phi:.3f})")
 
+    be = xlb.ComputeBackend.PALLAS if backend == "pallas" else None
     walls = np.unique(np.concatenate([np.asarray(box[k]) for k in ("bottom", "top")], axis=1), axis=1)
-    nse = IncompressibleNavierStokesStepper(grid, boundary_conditions=[HalfwayBounceBackBC(indices=walls.tolist())])
+    nse = IncompressibleNavierStokesStepper(grid, boundary_conditions=[HalfwayBounceBackBC(indices=walls.tolist())],
+                                            compute_backend=be)
     ade = AdvectionDiffusionStepper(grid, boundary_conditions=[
         EquilibriumBC(rho=1.0, u=(0.0, 0.0), indices=box["bottom"]),  # hot floor
         EquilibriumBC(rho=0.0, u=(0.0, 0.0), indices=box["top"]),     # cold ceiling
-    ])
+    ], compute_backend=be)
     thermal = ThermalNSEStepper(nse, ade, beta=beta, gravity=(0.0, -g_mag))
 
     f0, f1, bcf, mf = nse.prepare_fields()
@@ -81,5 +83,6 @@ if __name__ == "__main__":
     p.add_argument("--ny", type=int, default=64)
     p.add_argument("--ra", type=float, default=5e4)
     p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
     a = p.parse_args()
-    run(nx=a.nx, ny=a.ny, rayleigh=a.ra, num_steps=a.steps)
+    run(nx=a.nx, ny=a.ny, rayleigh=a.ra, num_steps=a.steps, backend=a.backend)

@@ -210,3 +210,37 @@ def test_fused_ade_3d_matches_jnp_tier():
         ga, gb = fused(ga, gb, bm, mm, 1.4, u, t)
         ga, gb = gb, ga
     assert float(jnp.abs(fa - ga).max()) < 5e-6
+
+
+def test_fused_thermal_matches_jnp_tier():
+    """PALLAS-backed thermal coupling (per-voxel buoyancy via the fused
+    forced step, interpret on CPU) matches the jnp tier to f32 roundoff."""
+    import xlb_tpu as xlb
+
+    vs = init_env(D2Q9)
+    n = 32
+    phi0 = _gaussian_phi(n, 3.0, offset=0.0)
+
+    def build(backend):
+        boundary_condition_registry.reset()
+        nse = IncompressibleNavierStokesStepper(_grid(n), compute_backend=backend)
+        ade = AdvectionDiffusionStepper(_grid(n), compute_backend=backend)
+        th = ThermalNSEStepper(nse, ade, beta=5e-3, gravity=(0.0, -1.0))
+        f0, f1, bcf, mf = nse.prepare_fields()
+        g0, g1, bcg, mg = ade.prepare_fields(phi_init=phi0)
+        return th, (f0, f1, g0, g1, bcf, mf, bcg, mg)
+
+    ref, (f0, f1, g0, g1, bcf, mf, bcg, mg) = build(None)
+    ra = (f0, f1, g0, g1)
+    for t in range(3):
+        a, b, c, d = ref(*ra, bcf, mf, bcg, mg, 1.3, 1.3, t)
+        ra = (b, a, d, c)
+
+    fus, (f0, f1, g0, g1, bcf, mf, bcg, mg) = build(__import__("xlb_tpu").ComputeBackend.PALLAS)
+    rb = (f0, f1, g0, g1)
+    for t in range(3):
+        a, b, c, d = fus(*rb, bcf, mf, bcg, mg, 1.3, 1.3, t)
+        rb = (b, a, d, c)
+
+    assert float(jnp.abs(ra[0] - rb[0]).max()) < 5e-6  # populations f
+    assert float(jnp.abs(ra[2] - rb[2]).max()) < 5e-6  # scalar g

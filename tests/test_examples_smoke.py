@@ -179,3 +179,8 @@ def test_mlups_3d_cli():
 def test_mlups_2d_cli():
     m = _load("performance/mlups_2d.py").benchmark(64, 8, "pallas", "FP32FP32", warmup=1, reps=1)
     assert m > 0
+
+
+def test_rayleigh_benard_2d_pallas():
+    nus = _load("cfd/rayleigh_benard_2d.py").run(nx=48, ny=24, num_steps=1000, window=500, backend="pallas")
+    assert np.isfinite(nus).all()

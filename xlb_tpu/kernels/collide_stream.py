@@ -105,7 +105,7 @@ def aux_layout(bc_specs, vs):
 def _build_kernel_body(
     vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY,
     smagorinsky_coef=0.17, shifted=False, has_solids=True, force_vector=None,
-    ade=False,
+    ade=False, extern_force=False,
 ):
     """Returns the Pallas kernel body closure for a DdQq fused step.
 
@@ -126,6 +126,14 @@ def _build_kernel_body(
         bad = [s["kind"] for s in bc_specs if s["kind"] not in allowed]
         if bad:
             raise NotImplementedError(f"fused ADE supports BC kinds {sorted(allowed)}; got {bad}")
+        use_aux = True
+        aux_u_off, aux_w_offs = 0, {}
+    elif extern_force:
+        # per-voxel exact-difference force field rides aux channels [0:d]
+        # (a kernel ARGUMENT -- it changes every step in coupled flows)
+        if any(spec_uses_aux(s) for s in bc_specs):
+            raise NotImplementedError("extern_force cannot be combined with spatial-BC aux channels yet")
+        assert force_vector is None, "extern_force replaces the static force_vector"
         use_aux = True
         aux_u_off, aux_w_offs = 0, {}
     else:
@@ -503,6 +511,10 @@ def _build_kernel_body(
         # reference exact_difference_force.py:14-76): f += feq(rho, u+F) - feq
         if force_vector is not None:
             u_f = [u[a] + cdt(force_vector[a]) for a in range(d)]
+            feq_f = equilibrium(rho, u_f)
+            f_out = [f_out[l] + (feq_f[l] - feq[l]) for l in range(q)]
+        elif extern_force and not ade:
+            u_f = [u[a] + jax.lax.index_in_dim(aux, aux_u_off + a, axis=0, keepdims=False) for a in range(d)]
             feq_f = equilibrium(rho, u_f)
             f_out = [f_out[l] + (feq_f[l] - feq[l]) for l in range(q)]
 

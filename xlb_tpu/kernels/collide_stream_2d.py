@@ -39,6 +39,7 @@ def build_fused_collide_stream_2d(
     has_solids=True,
     force_vector=None,
     ade=False,
+    extern_force=False,
 ):
     X, Y = shape
     TX = tile_x
@@ -49,7 +50,7 @@ def build_fused_collide_stream_2d(
     r = TX // 8
     nX8 = X // 8
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted, has_solids=has_solids, force_vector=force_vector, ade=ade)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, None, shifted=shifted, has_solids=has_solids, force_vector=force_vector, ade=ade, extern_force=extern_force)
     compute_from_ext = body.compute_from_ext
     cdt = compute_dtype
 
@@ -78,7 +79,7 @@ def build_fused_collide_stream_2d(
             pl.BlockSpec((q, 8, Y), lambda i: (0, jax.lax.rem((i + 1) * r, nX8), 0)),
             pl.BlockSpec((TX, Y), lambda i: (i, 0)),
         ]
-        + ([pl.BlockSpec((velocity_set.d if ade else aux_layout(list(bc_specs), velocity_set)[2], TX, Y), lambda i: (0, i, 0))] if use_aux else []),
+        + ([pl.BlockSpec((velocity_set.d if (ade or extern_force) else aux_layout(list(bc_specs), velocity_set)[2], TX, Y), lambda i: (0, i, 0))] if use_aux else []),
         out_specs=pl.BlockSpec((q, TX, Y), lambda i: (0, i, 0)),
         scratch_shapes=[pltpu.VMEM((q, TX + 2, Y), compute_dtype)],
     )

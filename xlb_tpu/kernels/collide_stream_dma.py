@@ -61,6 +61,7 @@ def build_fused_collide_stream_3d_dma(
     sub_grid=None,
     alias_output=False,
     ade=False,
+    extern_force=False,
 ):
     """With ``padded_halo=True`` the f input (and output) carry a TX-wide
     x-pad and TY-wide y-pad per side -- shape (q, X+2TX, Y+2TY, Z) around the
@@ -86,7 +87,7 @@ def build_fused_collide_stream_3d_dma(
     assert 0 <= oi and oi + gi <= nX and 0 <= oj and oj + gj <= nY, f"sub_grid {sub_grid} out of range"
     n_tiles = gi * gj
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector, ade=ade)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector, ade=ade, extern_force=extern_force)
     compute_from_ext = body.compute_from_ext
 
     c = velocity_set._c
@@ -211,7 +212,7 @@ def build_fused_collide_stream_3d_dma(
     if use_aux:
         if padded_halo:
             raise NotImplementedError("spatial-BC aux field is not yet plumbed through the padded-halo mode")
-        nchan = velocity_set.d if ade else aux_layout(list(bc_specs), velocity_set)[2]
+        nchan = velocity_set.d if (ade or extern_force) else aux_layout(list(bc_specs), velocity_set)[2]
         in_specs.append(pl.BlockSpec((nchan, TX, TY, Z), lambda i, j: (0, oi + i, oj + j, 0)))
     if alias_output:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below

@@ -393,6 +393,55 @@ def build_fused_ade_step(stepper, tile=None, interpret=None):
     return step
 
 
+def build_fused_forced_step(stepper, tile=None, interpret=None):
+    """PALLAS-tier NSE step with a PER-VOXEL exact-difference force field
+    (the field generalization of the static ``force_vector``): one HBM
+    pass with the (d, *shape) force streamed in per tile as aux channels.
+    Used by the Boussinesq thermal coupling (models/ade.py), where the
+    buoyancy changes every step.
+
+    Returns ``(f_0, f_1, bc_mask, missing_mask, omega, force_field,
+    timestep) -> (f_0, f_1)``.  Forward-only (differentiate through the
+    jnp tier).
+    """
+    vs = stepper.velocity_set
+    shape = tuple(stepper.grid.shape)
+    pp = stepper.precision_policy
+    bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    if stepper_force_vector(stepper) is not None:
+        raise NotImplementedError("use either a static force_vector or the per-voxel force field, not both")
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+
+    if vs.d == 2:
+        from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
+
+        fused = build_fused_collide_stream_2d(
+            vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+            compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+            tile_x=(tile[0] if tile else _auto_tile_x(shape[0])),
+            interpret=interpret, has_solids=getattr(stepper, "has_solids", True), extern_force=True,
+        )
+    else:
+        from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
+
+        if shape[2] % 128 != 0:
+            raise NotImplementedError("fused forced step needs a 128-multiple z extent (manual-DMA lane rule)")
+        fused = build_fused_collide_stream_3d_dma(
+            vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+            compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+            tile=tile or _auto_tile(shape), interpret=interpret,
+            has_solids=getattr(stepper, "has_solids", True), extern_force=True,
+        )
+
+    def step(f_0, f_1, bc_mask, missing_mask, omega, force_field, timestep=0):
+        mask_i32 = pack_masks(bc_mask, missing_mask)
+        omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
+        return f_0, fused(f_0, mask_i32, omega_c, aux=force_field.astype(jnp.float32))
+
+    return step
+
+
 def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None, temporal_steps=None, shape_override=None, donate=False):
     """A jitted ``num_steps``-window of the fused step with optional
     deviation-form (shifted) storage between steps.

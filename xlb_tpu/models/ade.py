@@ -148,11 +148,15 @@ class ThermalNSEStepper:
     def __init__(self, nse, ade, beta=1e-3, gravity=None, phi_ref=0.0):
         from xlb_tpu.compute_backend import ComputeBackend
 
-        if nse.compute_backend == ComputeBackend.PALLAS or nse.streaming_scheme != "pull":
-            raise NotImplementedError(
-                "ThermalNSEStepper needs the jnp-tier pull stepper (the per-voxel "
-                "buoyancy rides _step_pull's force_field hook)"
-            )
+        if nse.streaming_scheme != "pull":
+            raise NotImplementedError("ThermalNSEStepper needs the pull streaming scheme")
+        self._fused_nse = None
+        if nse.compute_backend == ComputeBackend.PALLAS:
+            # per-voxel buoyancy in-kernel: the force field streams in as
+            # aux channels (kernels/fused_step.build_fused_forced_step)
+            from xlb_tpu.kernels.fused_step import build_fused_forced_step
+
+            self._fused_nse = build_fused_forced_step(nse)
         self.nse = nse
         self.ade = ade
         self.beta = float(beta)
@@ -170,7 +174,10 @@ class ThermalNSEStepper:
         force = -self.beta * (phi - self.phi_ref) * grav
 
         # NSE step via the stepper's own pull path + force_field hook
-        f_0, f_1 = nse._step_pull(f_0, f_1, bc_f, miss_f, omega, timestep, force_field=force)
+        if self._fused_nse is not None:
+            f_0, f_1 = self._fused_nse(f_0, f_1, bc_f, miss_f, omega, force, timestep)
+        else:
+            f_0, f_1 = nse._step_pull(f_0, f_1, bc_f, miss_f, omega, timestep, force_field=force)
 
         # ADE step advected by the post-stream velocity of the UPDATED f
         _, u = nse.macroscopic(nse.precision_policy.cast_to_compute(f_1))
