@@ -6,17 +6,19 @@ Protocol parity with the reference harness
 EquilibriumBC lid + FullwayBounceBackBC walls, warmup then timed repetitions,
 MLUPS = cells * steps / seconds / 1e6.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} where
 vs_baseline is measured MLUPS / 1000 (the 1 GLUPS/chip north-star target in
 BASELINE.md; the reference publishes no absolute numbers in-tree).
 
-Configuration: the production mixed-precision policy FP32BF16 (f32 compute,
-16-bit storage -- the TPU analogue of the reference's FP32FP16 policy,
-precision_policy.py:13-120), run through the temporally-blocked fused
-Pallas path (deviation-form storage + two LBM steps per HBM pass, matching
+The headline configuration is the production mixed-precision policy FP32BF16
+(f32 compute, 16-bit deviation-form storage -- the TPU analogue of the
+reference's FP32FP16 policy, precision_policy.py:13-120) through the
+temporally-blocked fused Pallas path (two LBM steps per HBM pass, matching
 two single-step passes to store-dtype roundoff; physics accuracy validated
-by the Taylor-Green decay test in tests/models/test_precision.py).
-FP32FP32 reaches ~3.5 GLUPS on the same chip (docs/performance.md).
+by the Taylor-Green decay test in tests/models/test_precision.py).  The same
+line also carries the FP32FP32 measurement (``fp32fp32_mlups``) so the
+artifact is self-contained and precision-regression-proof: the baseline
+target was written against the reference's default f32 policy.
 
 On CPU falls back to a small domain with the jnp tier so the harness still
 produces a line.
@@ -29,7 +31,7 @@ import time
 import numpy as np
 
 
-def main():
+def _measure(precision, n, iters, reps, on_accel):
     import jax
     import jax.numpy as jnp
 
@@ -38,18 +40,15 @@ def main():
     from xlb_tpu.grid import grid_factory
     from xlb_tpu.models import IncompressibleNavierStokesStepper
     from xlb_tpu.boundary import EquilibriumBC, FullwayBounceBackBC
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+    from xlb_tpu.default_config import DefaultConfig
 
-    on_accel = jax.default_backend() not in ("cpu",)
-    # 200-step windows keep the fixed tunnel round-trip (~10-50 ms sync
-    # fetch jitter) under a few % of the measured interval
-    n = 256 if on_accel else 32
-    iters = 200 if on_accel else 5
-    reps = 5
-
+    DefaultConfig.reset()
+    boundary_condition_registry.reset()
     xlb.init(
         velocity_set=D3Q19(),
         default_backend=xlb.ComputeBackend.JAX,
-        default_precision_policy=xlb.PrecisionPolicy.FP32BF16 if on_accel else xlb.PrecisionPolicy.FP32FP32,
+        default_precision_policy=precision,
     )
     grid = grid_factory((n, n, n))
     box = grid.bounding_box_indices()
@@ -67,8 +66,9 @@ def main():
     if on_accel:
         from xlb_tpu.kernels.fused_step import build_fused_window
 
-        # auto-selects deviation-form storage + the 2-step fused kernel;
-        # tile (8, 64) is the measured v5e optimum (docs/performance.md)
+        # auto-selects deviation-form storage (16-bit policies) + the
+        # temporally-blocked fused kernel; tile (8, 64) is the measured
+        # v5e optimum (docs/performance.md)
         run_window = build_fused_window(stepper, iters, kernel="dma", tile=(8, 64), interpret=False)
     else:
         step_fn = stepper
@@ -93,20 +93,41 @@ def main():
         float(jnp.sum(f0[0, 0, 0, :8]))
         best = min(best, time.perf_counter() - t0)
 
-    mlups = n**3 * iters / best / 1e6
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"MLUPS lid-driven cavity {n}^3 D3Q19 BGK "
-                    + ("FP32BF16-shifted (fused pallas, 2 steps/HBM-pass)" if on_accel else "f32 (jnp/cpu)")
-                ),
-                "value": round(mlups, 1),
-                "unit": "MLUPS",
-                "vs_baseline": round(mlups / 1000.0, 3),
-            }
-        )
-    )
+    return n**3 * iters / best / 1e6
+
+
+def main():
+    import jax
+
+    import xlb_tpu as xlb
+
+    on_accel = jax.default_backend() not in ("cpu",)
+    # 200-step windows keep the fixed tunnel round-trip (~10-50 ms sync
+    # fetch jitter) under a few % of the measured interval
+    n = 256 if on_accel else 32
+    iters = 200 if on_accel else 5
+    reps = 5
+
+    if on_accel:
+        mlups = _measure(xlb.PrecisionPolicy.FP32BF16, n, iters, reps, on_accel)
+        mlups_f32 = _measure(xlb.PrecisionPolicy.FP32FP32, n, iters, reps, on_accel)
+        record = {
+            "metric": f"MLUPS lid-driven cavity {n}^3 D3Q19 BGK FP32BF16-shifted (fused pallas, temporally blocked)",
+            "value": round(mlups, 1),
+            "unit": "MLUPS",
+            "vs_baseline": round(mlups / 1000.0, 3),
+            "fp32fp32_mlups": round(mlups_f32, 1),
+            "fp32fp32_vs_baseline": round(mlups_f32 / 1000.0, 3),
+        }
+    else:
+        mlups = _measure(xlb.PrecisionPolicy.FP32FP32, n, iters, reps, on_accel)
+        record = {
+            "metric": f"MLUPS lid-driven cavity {n}^3 D3Q19 BGK f32 (jnp/cpu)",
+            "value": round(mlups, 1),
+            "unit": "MLUPS",
+            "vs_baseline": round(mlups / 1000.0, 3),
+        }
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

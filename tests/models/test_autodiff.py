@@ -96,3 +96,56 @@ def test_gradient_with_boundary_conditions():
     eps = 1e-3
     fd = (loss(1.3 + eps) - loss(1.3 - eps)) / (2 * eps)
     np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)
+
+
+def test_gradient_through_fused_window():
+    """The fused WINDOW is differentiable (round-3 VERDICT #2): reverse
+    mode checkpoints the window input, replays the forward, and scans the
+    fused Pallas adjoint -- gradients match the jnp tier to roundoff,
+    including through a spatial-profile (aux-BC) configuration."""
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.boundary import DoNothingBC, FullwayBounceBackBC, RegularizedBC
+    from xlb_tpu.kernels.fused_step import build_fused_window
+
+    init_env(D3Q19)
+    n, nz = 16, 128
+    grid = grid_factory((n, n, nz), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "top", "front", "back")], axis=1), axis=1
+    )
+    yz = 2 * ((np.arange(n) + 0.5) / n - 0.5)
+    rz = 2 * ((np.arange(nz) + 0.5) / nz - 0.5)
+    gy, gz = np.meshgrid(yz, rz, indexing="ij")
+    prescribed = np.zeros((3, 1, n, nz))
+    prescribed[0, 0] = 0.04 * np.maximum(0.0, 1.0 - gy**2 - gz**2)
+    bcs = [
+        FullwayBounceBackBC(indices=walls.tolist()),
+        RegularizedBC("velocity", profile=lambda: prescribed, indices=box_ne["left"]),
+        DoNothingBC(indices=box_ne["right"]),
+    ]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    steps = 3
+    run = build_fused_window(stepper, steps, tile=(8, 8), interpret=True, temporal_steps=2)
+
+    def loss_window(f, omega):
+        out, _ = run(f, f, bm, mm, omega)
+        return jnp.sum(out.astype(jnp.float32) ** 2)
+
+    def loss_jnp(f, omega):
+        a, b = f, f
+        for t in range(steps):
+            a, b = stepper(a, b, bm, mm, omega, t)
+            a, b = b, a
+        return jnp.sum(a.astype(jnp.float32) ** 2)
+
+    gf_w, go_w = jax.grad(loss_window, argnums=(0, 1))(f0, jnp.float32(1.5))
+    gf_j, go_j = jax.grad(loss_jnp, argnums=(0, 1))(f0, jnp.float32(1.5))
+    np.testing.assert_allclose(np.asarray(gf_w), np.asarray(gf_j), rtol=2e-4, atol=1e-6)
+    # omega's gradient is a cancellation-prone sum over every voxel and
+    # step, accumulated along a replayed trajectory that differs from the
+    # jnp tier's at f32 roundoff -- tolerance reflects that, not the
+    # per-element f-gradient agreement above
+    np.testing.assert_allclose(float(go_w), float(go_j), rtol=2e-3)

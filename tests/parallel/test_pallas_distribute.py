@@ -111,3 +111,72 @@ def test_distributed_overlap_split_matches_unsplit():
     run_split = build_distributed_fused_window(stn, steps, tile=(4, 8), interpret=True, overlap=True)
     sa, _ = run_split(g0, g1, bmn, mmn, 1.5)
     np.testing.assert_array_equal(np.asarray(sa), np.asarray(pa))
+
+
+def test_distributed_fused_window_2d():
+    """2-D x-sharded fused window (padded-halo 2D k-step kernel, ring
+    ppermute pad refresh) matches the single-device jnp tier (round-3
+    VERDICT #4; reference distribute.py:82-105 is dimension-generic)."""
+    from xlb_tpu.velocity_set import D2Q9
+    from xlb_tpu.boundary import HalfwayBounceBackBC
+
+    def _scene2d(mesh_shape, devices=None):
+        from xlb_tpu.boundary.registry import boundary_condition_registry
+
+        boundary_condition_registry.reset()
+        init_env(D2Q9)
+        grid = grid_factory((64, 48), mesh_shape=mesh_shape, devices=devices)
+        box = grid.bounding_box_indices()
+        box_ne = grid.bounding_box_indices(remove_edges=True)
+        walls = np.unique(
+            np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right")], axis=1), axis=1
+        )
+        bcs = [
+            HalfwayBounceBackBC(indices=walls.tolist()),
+            EquilibriumBC(rho=1.0, u=(0.04, 0.0), indices=box_ne["top"]),
+        ]
+        stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+        return stepper, stepper.prepare_fields()
+
+    steps = 7  # not a multiple of k: exercises the single-step remainder
+    st1, (f0, f1, bm, mm) = _scene2d((1, 1), devices=jax.devices()[:1])
+    fa, fb = f0, f1
+    for t in range(steps):
+        fa, fb = st1(fa, fb, bm, mm, 1.6, t)
+        fa, fb = fb, fa
+    expected = np.asarray(fa)
+
+    stn, (g0, g1, bmn, mmn) = _scene2d((8, 1))
+    run = build_distributed_fused_window(stn, steps, tile=(8, 8), interpret=True)
+    ga, _ = run(g0, g1, bmn, mmn, 1.6)
+    assert ga.sharding.spec == stn.grid.field_spec
+    np.testing.assert_allclose(np.asarray(ga), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_fused_window_2d_bf16_kstep():
+    """2-D distributed window with 16-bit deviation-form storage and
+    temporal blocking is bit-identical to the single-device fused window."""
+    from xlb_tpu.velocity_set import D2Q9
+    from xlb_tpu.kernels.fused_step import build_fused_window
+
+    def _scene2d(mesh_shape, devices=None, precision="FP32BF16"):
+        from xlb_tpu.boundary.registry import boundary_condition_registry
+
+        boundary_condition_registry.reset()
+        init_env(D2Q9, precision=precision)
+        grid = grid_factory((64, 48), mesh_shape=mesh_shape, devices=devices)
+        box_ne = grid.bounding_box_indices(remove_edges=True)
+        bcs = [EquilibriumBC(rho=1.0, u=(0.03, 0.0), indices=box_ne["top"])]
+        stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+        return stepper, stepper.prepare_fields()
+
+    steps = 8
+    st1, (f0, f1, bm, mm) = _scene2d((1, 1), devices=jax.devices()[:1])
+    ref_run = build_fused_window(st1, steps, tile=(8,), interpret=True, temporal_steps=4)
+    ra, _ = ref_run(f0, f1, bm, mm, 1.7)
+    expected = np.asarray(ra.astype(jnp.float32))
+
+    stn, (g0, g1, bmn, mmn) = _scene2d((8, 1))
+    run = build_distributed_fused_window(stn, steps, tile=(8, 8), interpret=True, temporal_steps=4)
+    ga, _ = run(g0, g1, bmn, mmn, 1.7)
+    np.testing.assert_array_equal(np.asarray(ga.astype(jnp.float32)), expected)

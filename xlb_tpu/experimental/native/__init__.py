@@ -21,8 +21,17 @@ _build_failed = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _LIB, _SRC, "-lzstd"]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # compile to a temp file and os.replace() into place: the atomic rename
+    # keeps a concurrently-compiling sibling process from dlopen'ing a
+    # partially written .so (advisor finding, round 2)
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp, _SRC, "-lzstd"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():

@@ -21,8 +21,15 @@ _build_failed = False
 
 
 def _build():
-    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", "-o", _LIB, _SRC]
-    subprocess.run(cmd, check=True, capture_output=True)
+    # atomic temp + rename so concurrent processes never load a partial .so
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC", "-o", tmp, _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _load():
@@ -41,6 +48,13 @@ def _load():
             lib = ctypes.CDLL(_LIB)
         except (OSError, subprocess.CalledProcessError):
             _build_failed = True
+            import warnings
+
+            warnings.warn(
+                "native voxelizer unavailable (g++ build failed); mesh voxelization "
+                "falls back to the much slower pure-NumPy path",
+                RuntimeWarning,
+            )
             return None
 
         c_double_p = ctypes.POINTER(ctypes.c_double)

@@ -64,11 +64,16 @@ def build_fused_adjoint_3d(
     interpret=False,
     has_solids=True,
     force_vector=None,
+    shifted=False,
 ):
-    """Build the fused backward: (f_primal, g, mask_i32, omega) ->
+    """Build the fused backward: (f_primal, g, mask_i32, omega[, aux]) ->
     (df (q,X,Y,Z), dom_field (X,Y,Z)); sum dom_field for the scalar
-    omega cotangent.  Unshifted storage only (the differentiable
-    single-step path)."""
+    omega cotangent.  ``f_primal`` is in the step's storage form
+    (deviation form when ``shifted``); the cotangent g travels in the
+    COMPUTE dtype on both sides, so reverse sweeps through 16-bit-storage
+    windows never quantize gradients.  Spatial-BC aux channels ride a
+    depth-1-halo side fetch like the mask and enter the per-voxel VJP as
+    constants (prescriptions carry no gradient)."""
     X, Y, Z = shape
     TX, TY = tile
     q = velocity_set.q
@@ -86,10 +91,10 @@ def build_fused_adjoint_3d(
 
     body = _build_kernel_body(
         velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY,
-        shifted=False, has_solids=has_solids, force_vector=force_vector,
+        shifted=shifted, has_solids=has_solids, force_vector=force_vector,
     )
-    if body.use_aux:
-        raise NotImplementedError("spatial-BC aux fields are not plumbed through the fused adjoint")
+    use_aux = body.use_aux
+    nchan = body.aux_nchan if use_aux else 0
     pointwise_core = body.pointwise_core
 
     c = velocity_set._c
@@ -112,10 +117,12 @@ def build_fused_adjoint_3d(
     # cotangent buffer: depth-1 x halo, all channels (J^T mixes directions)
     BXg, BYg = TX + 2, TY + 16
     g_pieces = [(xp, yp) for xp in (1, 2, 3) for yp in (0, 1, 2)]
-    # mask buffer: depth-1 (the extended region's ids/bitfields)
+    # mask buffer: depth-1 (the extended region's ids/bitfields); the aux
+    # field needs the same depth-1 extended region
     BXm, BYm = TX + 2, TY + 16
     m_pieces = [(xp, yp) for xp in (1, 2, 3) for yp in (0, 1, 2)]
-    n_dmas = len(f_pieces) + len(g_pieces) + len(m_pieces)
+    a_pieces = m_pieces if use_aux else []
+    n_dmas = len(f_pieces) + len(g_pieces) + len(m_pieces) + len(a_pieces)
 
     def _x_src(i, xp):
         # K=2 x-parts: 0 = depth-2 lo, 1 = depth-1 lo, 2 = interior,
@@ -137,7 +144,13 @@ def build_fused_adjoint_3d(
             return pl.multiple_of(j * TY, 8), TY, 8
         return pl.multiple_of(jax.lax.rem((j + 1) * TY, Y), 8), 8, TY + 8
 
-    def kernel(omega_ref, f_hbm, g_hbm, mask_hbm, df_out, dom_out, fbuf, gbuf, mbuf, hfs, hfp, hom, sems):
+    def kernel(omega_ref, f_hbm, g_hbm, mask_hbm, *rest):
+        if use_aux:
+            aux_hbm = rest[0]
+            df_out, dom_out, fbuf, gbuf, mbuf, abuf, hfs, hfp, hom, sems = rest[1:]
+        else:
+            aux_hbm = abuf = None
+            df_out, dom_out, fbuf, gbuf, mbuf, hfs, hfp, hom, sems = rest
         it = pl.program_id(0) * nY + pl.program_id(1)
         slot = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
@@ -164,12 +177,21 @@ def build_fused_adjoint_3d(
                     gbuf.at[slot_idx, :, pl.ds(dx - 1, xlen), pl.ds(dy, ylen), :],
                     sems.at[slot_idx, k],
                 )
-            xp, yp = m_pieces[k - len(f_pieces) - len(g_pieces)]
+            if k < len(f_pieces) + len(g_pieces) + len(m_pieces):
+                xp, yp = m_pieces[k - len(f_pieces) - len(g_pieces)]
+                xs, xlen, dx = _x_src(i, xp)
+                ys, ylen, dy = _y_src(j, yp)
+                return pltpu.make_async_copy(
+                    mask_hbm.at[pl.ds(xs, xlen), pl.ds(ys, ylen), :],
+                    mbuf.at[slot_idx, pl.ds(dx - 1, xlen), pl.ds(dy, ylen), :],
+                    sems.at[slot_idx, k],
+                )
+            xp, yp = a_pieces[k - len(f_pieces) - len(g_pieces) - len(m_pieces)]
             xs, xlen, dx = _x_src(i, xp)
             ys, ylen, dy = _y_src(j, yp)
             return pltpu.make_async_copy(
-                mask_hbm.at[pl.ds(xs, xlen), pl.ds(ys, ylen), :],
-                mbuf.at[slot_idx, pl.ds(dx - 1, xlen), pl.ds(dy, ylen), :],
+                aux_hbm.at[:, pl.ds(xs, xlen), pl.ds(ys, ylen), :],
+                abuf.at[slot_idx, :, pl.ds(dx - 1, xlen), pl.ds(dy, ylen), :],
                 sems.at[slot_idx, k],
             )
 
@@ -200,12 +222,15 @@ def build_fused_adjoint_3d(
         fp_ext = tuple(fbuf[slot, l, 1 : 1 + TXe, 7 : 7 + TYe, :].astype(cdt) for l in range(q)) if need_fp else ()
         g_ext = tuple(gbuf[slot, l, 0:TXe, 7 : 7 + TYe, :].astype(cdt) for l in range(q))
         mask_ext = mbuf[slot, 0:TXe, 7 : 7 + TYe, :]
+        # aux enters the VJP closure as a CONSTANT (prescriptions carry no
+        # gradient), so the Jacobian-transpose ignores it automatically
+        aux_ext = abuf[slot, :, 0:TXe, 7 : 7 + TYe, :].astype(cdt) if use_aux else None
         om_field = jnp.full((TXe, TYe, Z), omega, cdt)
 
         if need_fp:
 
             def phi(fs, fp, om):
-                outs = pointwise_core(list(fs), lambda l: fp[l], mask_ext, om)
+                outs = pointwise_core(list(fs), lambda l: fp[l], mask_ext, om, aux_ext)
                 return tuple(outs)
 
             _, vjp_fn = jax.vjp(phi, tuple(fs_ext), fp_ext, om_field)
@@ -213,7 +238,7 @@ def build_fused_adjoint_3d(
         else:
 
             def phi(fs, om):
-                outs = pointwise_core(list(fs), None, mask_ext, om)
+                outs = pointwise_core(list(fs), None, mask_ext, om, aux_ext)
                 return tuple(outs)
 
             _, vjp_fn = jax.vjp(phi, tuple(fs_ext), om_field)
@@ -227,31 +252,42 @@ def build_fused_adjoint_3d(
         hom[...] = dom
 
         # ---- sweep B: gather df_m[x] = h_fs_m[x + c_m] (+ h_fp_m[x]) ------
+        # cotangents leave in the COMPUTE dtype: quantizing gradients to a
+        # 16-bit store dtype would silently degrade them relative to the
+        # jnp-tier VJP fallback (advisor finding, round 2)
         for m in range(q):
             cx, cy, cz = int(c[0, m]), int(c[1, m]), int(c[2, m])
             dm = _roll_lane(hfs[m, 1 + cx : 1 + cx + TX, 1 + cy : 1 + cy + TY, :], -cz)
             if need_fp:
                 dm = dm + hfp[m, 1 : 1 + TX, 1 : 1 + TY, :]
-            df_out[m] = dm.astype(store_dtype)
-        dom_out[...] = hom[1 : 1 + TX, 1 : 1 + TY, :].astype(store_dtype)
+            df_out[m] = dm.astype(compute_dtype)
+        dom_out[...] = hom[1 : 1 + TX, 1 : 1 + TY, :].astype(compute_dtype)
 
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.ANY),  # primal f stays in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),  # cotangent g stays in HBM
+        pl.BlockSpec(memory_space=pltpu.ANY),  # packed mask stays in HBM
+    ]
+    if use_aux:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # aux stays in HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nX, nY),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # primal f stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # cotangent g stays in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),  # packed mask stays in HBM
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((q, TX, TY, Z), lambda i, j: (0, i, j, 0)),
             pl.BlockSpec((TX, TY, Z), lambda i, j: (i, j, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, q, BXf, BYf, Z), store_dtype),
-            pltpu.VMEM((2, q, BXg, BYg, Z), store_dtype),
+            # cotangents stay in the compute dtype end to end: a 16-bit
+            # round-trip here would quantize every reverse-sweep gradient
+            pltpu.VMEM((2, q, BXg, BYg, Z), compute_dtype),
             pltpu.VMEM((2, BXm, BYm, Z), jnp.int32),
+        ]
+        + ([pltpu.VMEM((2, nchan, BXm, BYm, Z), jnp.float32)] if use_aux else [])
+        + [
             pltpu.VMEM((q, TXe, TYe, Z), compute_dtype),
             pltpu.VMEM((q, TXe, TYe, Z) if need_fp else (1, 1, 1, Z), compute_dtype),
             pltpu.VMEM((TXe, TYe, Z), compute_dtype),
@@ -263,16 +299,20 @@ def build_fused_adjoint_3d(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((q, X, Y, Z), store_dtype),
-            jax.ShapeDtypeStruct((X, Y, Z), store_dtype),
+            jax.ShapeDtypeStruct((q, X, Y, Z), compute_dtype),
+            jax.ShapeDtypeStruct((X, Y, Z), compute_dtype),
         ],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
     )
 
-    def backward(f_primal, g, mask_i32, omega):
+    def backward(f_primal, g, mask_i32, omega, aux=None):
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
-        df, dom_field = adj(omega_arr, f_primal, g.astype(store_dtype), mask_i32)
+        args = [omega_arr, f_primal, g.astype(compute_dtype), mask_i32]
+        if use_aux:
+            assert aux is not None, "spatial-BC adjoint needs the aux prescribed-velocity field"
+            args.append(aux.astype(jnp.float32))
+        df, dom_field = adj(*args)
         return df, dom_field
 
     return backward

@@ -79,21 +79,24 @@ def spec_uses_aux(spec):
     )
 
 
-def aux_layout(bc_specs, vs):
+def aux_layout(bc_specs, vs, base=0):
     """Static channel layout of the aux side array shared by the kernel
     body and ``fused_step.build_aux_field``: velocity channels first
     (d, for spatial prescribed-velocity BCs), then one q-channel block of
     wall-distance weights PER HybridBC-with-distances (keyed by BC id, so
     overlapping dilated shells of two meshes cannot clobber each other).
-    Returns (u_off, w_offs, nchan): ``w_offs`` maps BC id -> channel
-    offset; ``u_off`` is None when no BC needs the velocity channels."""
+    ``base`` shifts the whole layout -- the extern_force mode prepends d
+    per-voxel force channels at offset 0 and lays the BC channels after
+    them (base=d).  Returns (u_off, w_offs, nchan): ``w_offs`` maps BC
+    id -> channel offset; ``u_off`` is None when no BC needs the velocity
+    channels; ``nchan`` includes the ``base`` prefix."""
     has_u = any(
         (isinstance(s.get("mw"), str) and s["mw"] == "aux")
         or (isinstance(s.get("value"), str) and s["value"] == "aux")
         for s in bc_specs
     )
-    u_off = 0 if has_u else None
-    off = vs.d if has_u else 0
+    u_off = base if has_u else None
+    off = base + (vs.d if has_u else 0)
     w_offs = {}
     for s in bc_specs:
         if s.get("kind") == "hybrid" and s.get("use_dist"):
@@ -126,19 +129,24 @@ def _build_kernel_body(
         bad = [s["kind"] for s in bc_specs if s["kind"] not in allowed]
         if bad:
             raise NotImplementedError(f"fused ADE supports BC kinds {sorted(allowed)}; got {bad}")
+        bad_aux = [s["kind"] for s in bc_specs if spec_uses_aux(s)]
+        if bad_aux:
+            # in ADE mode aux channels 0..d-1 carry the ADVECTING velocity;
+            # a spatial-profile BC would silently read it as its wall velocity
+            raise NotImplementedError(f"fused ADE cannot host spatial-BC aux channels; got aux-using specs {bad_aux}")
         use_aux = True
         aux_u_off, aux_w_offs = 0, {}
+        aux_nchan = vs.d
     elif extern_force:
         # per-voxel exact-difference force field rides aux channels [0:d]
-        # (a kernel ARGUMENT -- it changes every step in coupled flows)
-        if any(spec_uses_aux(s) for s in bc_specs):
-            raise NotImplementedError("extern_force cannot be combined with spatial-BC aux channels yet")
+        # (a kernel ARGUMENT -- it changes every step in coupled flows);
+        # spatial-BC channels, when present, follow at offset d
         assert force_vector is None, "extern_force replaces the static force_vector"
         use_aux = True
-        aux_u_off, aux_w_offs = 0, {}
+        aux_u_off, aux_w_offs, aux_nchan = aux_layout(bc_specs, vs, base=vs.d)
     else:
         use_aux = any(spec_uses_aux(s) for s in bc_specs)
-        aux_u_off, aux_w_offs, _ = aux_layout(bc_specs, vs)
+        aux_u_off, aux_w_offs, aux_nchan = aux_layout(bc_specs, vs)
     q, d = vs.q, vs.d
     c = vs._c  # (3, q) static
     w = vs._w
@@ -514,7 +522,9 @@ def _build_kernel_body(
             feq_f = equilibrium(rho, u_f)
             f_out = [f_out[l] + (feq_f[l] - feq[l]) for l in range(q)]
         elif extern_force and not ade:
-            u_f = [u[a] + jax.lax.index_in_dim(aux, aux_u_off + a, axis=0, keepdims=False) for a in range(d)]
+            # the per-voxel force always sits in channels [0:d] (BC aux
+            # channels, if any, start at offset d -- aux_layout(base=d))
+            u_f = [u[a] + jax.lax.index_in_dim(aux, a, axis=0, keepdims=False) for a in range(d)]
             feq_f = equilibrium(rho, u_f)
             f_out = [f_out[l] + (feq_f[l] - feq[l]) for l in range(q)]
 
@@ -624,6 +634,7 @@ def _build_kernel_body(
     kernel.compute_from_ext = compute_from_ext
     kernel.pointwise_core = pointwise_core
     kernel.use_aux = use_aux
+    kernel.aux_nchan = aux_nchan
     kernel.moments = moments
     kernel.equilibrium = equilibrium
     kernel.collide = collide
@@ -704,7 +715,7 @@ def build_fused_collide_stream_3d(
     d = velocity_set.d
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + specs_f + [spec_mask]
     if kernel.use_aux:
-        nchan = aux_layout(bc_specs, velocity_set)[2]
+        nchan = kernel.aux_nchan
         in_specs.append(pl.BlockSpec((nchan, TX, TY, Z), lambda i, j: (0, i, j, 0)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,

@@ -90,8 +90,8 @@ def build_fused_collide_stream_3d_kstep(
     n_tiles = gi * gj
 
     body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
-    if body.use_aux:
-        raise NotImplementedError("spatial-BC aux field is not plumbed through the k-step kernel; use the single-step path")
+    use_aux = body.use_aux
+    nchan = body.aux_nchan if use_aux else 0
     compute_from_ext = body.compute_from_ext
 
     c = velocity_set._c
@@ -113,10 +113,14 @@ def build_fused_collide_stream_3d_kstep(
             for cstart, clen in ranges:
                 f_pieces.append((cstart, clen, xp, yp))
 
-    # mask buffer layout: x [(K-1) lo | interior TX | (K-1) hi], y as above
+    # mask buffer layout: x [(K-1) lo | interior TX | (K-1) hi], y as above.
+    # The static spatial-BC aux field needs the same depth-(K-1) extended
+    # region as the mask, so its pieces mirror the mask's (all channels in
+    # one DMA per piece; channels live on the untiled leading dim).
     BXm, BYm = TX + 2 * (K - 1), TY + 16
     m_pieces = [(xp, yp) for xp in (1, 2, 3) for yp in (0, 1, 2)]
-    n_dmas = len(f_pieces) + len(m_pieces)
+    a_pieces = m_pieces if use_aux else []
+    n_dmas = len(f_pieces) + len(m_pieces) + len(a_pieces)
 
     # intermediate sweep regions: sweep s (1-indexed) writes a region of
     # extent TX + 2*(K-s) per side; sweeps 1..K-1 land in VMEM intermediates
@@ -126,6 +130,7 @@ def build_fused_collide_stream_3d_kstep(
     vmem_est = (
         2 * q * BX * BY * Z * isz  # double-buffered input
         + 2 * BXm * BYm * Z * 4  # double-buffered packed mask
+        + 2 * nchan * BXm * BYm * Z * 4  # double-buffered aux (f32)
         + sum(int(np.prod(s)) * isz for s in inter_shapes)
         + 2 * q * TX * TY * Z * isz  # pipelined output block
     )
@@ -177,7 +182,19 @@ def build_fused_collide_stream_3d_kstep(
             return pl.multiple_of(jax.lax.rem((j + 1) * TY, Y), 8), 8, TY + 8
 
     def kernel(omega_ref, f_hbm, mask_hbm, *rest):
-        out, buf, mbuf, *inters, sems = rest[-(4 + K - 1) :]  # alias_output adds an unread out_init input
+        # inputs after mask: aux_hbm (use_aux), out_init (alias_output,
+        # unread); then the out ref; then scratch: buf, mbuf, (abuf),
+        # K-1 intermediates, sems
+        n_tail = 3 + (1 if use_aux else 0) + (K - 1) + 1
+        tail = rest[-n_tail:]
+        out, buf, mbuf = tail[0], tail[1], tail[2]
+        if use_aux:
+            aux_hbm, abuf = rest[0], tail[3]
+            inters = list(tail[4:-1])
+        else:
+            abuf = None
+            inters = list(tail[3:-1])
+        sems = tail[-1]
         it = pl.program_id(0) * gj + pl.program_id(1)
         slot = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
@@ -194,13 +211,22 @@ def build_fused_collide_stream_3d_kstep(
                     buf.at[slot_idx, pl.ds(cstart, clen), pl.ds(dx, xlen), pl.ds(dy, ylen), :],
                     sems.at[slot_idx, k],
                 )
-            xp, yp = m_pieces[k - len(f_pieces)]
+            if k < len(f_pieces) + len(m_pieces):
+                xp, yp = m_pieces[k - len(f_pieces)]
+                xs, xlen, dx = _x_src(i, xp)
+                ys, ylen, dy = _y_src(j, yp)
+                # mask-buffer x-parts 1..3 sit one slot left of f's 1..3
+                return pltpu.make_async_copy(
+                    mask_hbm.at[pl.ds(xs, xlen), pl.ds(ys, ylen), :],
+                    mbuf.at[slot_idx, pl.ds(dx - 1, xlen), pl.ds(dy, ylen), :],
+                    sems.at[slot_idx, k],
+                )
+            xp, yp = a_pieces[k - len(f_pieces) - len(m_pieces)]
             xs, xlen, dx = _x_src(i, xp)
             ys, ylen, dy = _y_src(j, yp)
-            # mask-buffer x-parts 1..3 sit one slot left of f's 1..3
             return pltpu.make_async_copy(
-                mask_hbm.at[pl.ds(xs, xlen), pl.ds(ys, ylen), :],
-                mbuf.at[slot_idx, pl.ds(dx - 1, xlen), pl.ds(dy, ylen), :],
+                aux_hbm.at[:, pl.ds(xs, xlen), pl.ds(ys, ylen), :],
+                abuf.at[slot_idx, :, pl.ds(dx - 1, xlen), pl.ds(dy, ylen), :],
                 sems.at[slot_idx, k],
             )
 
@@ -235,10 +261,13 @@ def build_fused_collide_stream_3d_kstep(
                     return _src[l, x0 : x0 + _e[0], y0 : y0 + _e[1], :].astype(cdt)
 
             # mask-buffer coords: extended voxel x=-(K-1) is mbuf x 0,
-            # row -(K-1) is mbuf y 8-(K-1)
+            # row -(K-1) is mbuf y 8-(K-1); the aux buffer shares the layout
             mask_s = mbuf[slot, s - 1 : s - 1 + ext[0], 8 - K + s : 8 - K + s + ext[1], :]
+            aux_s = None
+            if use_aux:
+                aux_s = abuf[slot, :, s - 1 : s - 1 + ext[0], 8 - K + s : 8 - K + s + ext[1], :].astype(cdt)
             dst = out if s == K else inters[s - 1]
-            compute_from_ext(read, mask_s, dst, omega)
+            compute_from_ext(read, mask_s, dst, omega, aux_s)
 
     if padded_halo:
         out_shape = (q, X + 2 * TX, Y + 2 * TY, Z)
@@ -251,6 +280,8 @@ def build_fused_collide_stream_3d_kstep(
         pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
         pl.BlockSpec(memory_space=pltpu.ANY),  # packed mask stays in HBM
     ]
+    if use_aux:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # aux stays in HBM
     if alias_output:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -262,6 +293,7 @@ def build_fused_collide_stream_3d_kstep(
             pltpu.VMEM((2, q, BX, BY, Z), store_dtype),
             pltpu.VMEM((2, BXm, BYm, Z), jnp.int32),
         ]
+        + ([pltpu.VMEM((2, nchan, BXm, BYm, Z), jnp.float32)] if use_aux else [])
         + [pltpu.VMEM(s, store_dtype) for s in inter_shapes]
         + [pltpu.SemaphoreType.DMA((2, n_dmas))],
     )
@@ -271,18 +303,24 @@ def build_fused_collide_stream_3d_kstep(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(out_shape, store_dtype),
         interpret=interpret,
-        input_output_aliases={3: 0} if alias_output else {},
+        input_output_aliases={(4 if use_aux else 3): 0} if alias_output else {},
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET + 8 * 2**20),
     )
 
-    def stepk(f, mask_i32, omega, out_init=None):
+    def stepk(f, mask_i32, omega, out_init=None, aux=None):
         if padded_halo:
             assert f.shape[1:3] == (X + 2 * TX, Y + 2 * TY) and mask_i32.shape[:2] == (X + 2 * TX, Y + 2 * TY)
         omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        args = [omega_arr, f, mask_i32]
+        if use_aux:
+            assert aux is not None, "spatial-BC kernel needs the aux prescribed-velocity field"
+            if padded_halo:
+                assert aux.shape[1:3] == (X + 2 * TX, Y + 2 * TY), "padded_halo k-step expects a pad-extended aux field"
+            args.append(aux.astype(jnp.float32))
         if alias_output:
             assert out_init is not None, "alias_output kernel needs the output buffer to write into"
-            return fusedk(omega_arr, f, mask_i32, out_init)
-        return fusedk(omega_arr, f, mask_i32)
+            args.append(out_init)
+        return fusedk(*args)
 
     return stepk
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xlb_tpu.kernels.collide_stream import _build_kernel_body, aux_layout
+from xlb_tpu.kernels.collide_stream import _build_kernel_body
 
 
 def _channel_ranges(channels):
@@ -210,9 +210,10 @@ def build_fused_collide_stream_3d_dma(
         spec_mask,
     ]
     if use_aux:
-        if padded_halo:
-            raise NotImplementedError("spatial-BC aux field is not yet plumbed through the padded-halo mode")
-        nchan = velocity_set.d if (ade or extern_force) else aux_layout(list(bc_specs), velocity_set)[2]
+        # aux is static per-voxel data like the mask: block-mapped on the
+        # UNPADDED interior tile even in padded_halo mode (the single-step
+        # body only reads aux at the tile's own voxels)
+        nchan = body.aux_nchan
         in_specs.append(pl.BlockSpec((nchan, TX, TY, Z), lambda i, j: (0, oi + i, oj + j, 0)))
     if alias_output:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from xlb_tpu.boundary.base import ImplementationStep
+from xlb_tpu.utils.tiers import notify_fallback
 from xlb_tpu.boundary.bc_equilibrium import EquilibriumBC
 from xlb_tpu.boundary.bc_do_nothing import DoNothingBC
 from xlb_tpu.boundary.bc_bounce_back import FullwayBounceBackBC, HalfwayBounceBackBC
@@ -64,6 +65,11 @@ def bc_to_spec(bc, velocity_set):
             "mw": None,
         }
         if bc.needs_moving_wall_treatment:
+            if _is_spatial_profile(bc):
+                raise NotImplementedError(
+                    "HybridBC with a spatial (coordinate-taking) wall-velocity profile is not "
+                    "supported by the fused kernel; use ComputeBackend.JAX for this configuration"
+                )
             u_wall = np.asarray(bc.profile()).reshape(-1)
             cu = vs._c.T.astype(np.float64) @ u_wall
             spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
@@ -264,6 +270,10 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
         if kernel == "dma" and shape[2] % 128 != 0:
             # Mosaic DMA slices need 128-multiple lane extents; block-mapped
             # specs accept any full-Z block
+            notify_fallback(
+                f"fused step: z extent {shape[2]} is not a 128-multiple; using the "
+                "block-mapped kernel instead of the faster manual-DMA kernel"
+            )
             kernel = "blocked"
 
         if kernel == "dma":
@@ -292,7 +302,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
     # faster than the jnp-tier VJP), falling back to the jnp tier's VJP
     # otherwise (same math to f32 roundoff, tests/kernels/test_fused_kernel.py).
     fused_bwd = None
-    if vs.d == 3 and kernel == "dma" and aux_np is None:
+    if vs.d == 3 and kernel == "dma":
         from xlb_tpu.kernels.adjoint_step import build_fused_adjoint_3d
 
         try:
@@ -324,7 +334,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
         f_0, bc_mask, missing_mask, omega = res
         if fused_bwd is not None:
             mask_i32 = pack_masks(bc_mask, missing_mask)
-            df, dom_field = fused_bwd(f_0, g, mask_i32, omega)
+            df, dom_field = fused_bwd(f_0, g, mask_i32, omega, aux=aux_dev)
             df = df.astype(f_0.dtype)
             dom = jnp.sum(dom_field.astype(jnp.float32)).astype(jnp.asarray(omega).dtype)
         else:
@@ -400,6 +410,11 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
     Used by the Boussinesq thermal coupling (models/ade.py), where the
     buoyancy changes every step.
 
+    Composes with spatial-BC aux channels (profile inlets, hybrid mesh
+    distances): the force rides channels [0:d] and the BC channels follow
+    at offset d (``aux_layout(base=d)``), so e.g. Rayleigh-Benard with a
+    curved obstacle runs fused.
+
     Returns ``(f_0, f_1, bc_mask, missing_mask, omega, force_field,
     timestep) -> (f_0, f_1)``.  Forward-only (differentiate through the
     jnp tier).
@@ -410,6 +425,7 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
     if stepper_force_vector(stepper) is not None:
         raise NotImplementedError("use either a static force_vector or the per-voxel force field, not both")
+    aux_bc_np = build_aux_field(stepper)  # static BC channels, laid after the force block
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
@@ -437,7 +453,10 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
     def step(f_0, f_1, bc_mask, missing_mask, omega, force_field, timestep=0):
         mask_i32 = pack_masks(bc_mask, missing_mask)
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
-        return f_0, fused(f_0, mask_i32, omega_c, aux=force_field.astype(jnp.float32))
+        aux = force_field.astype(jnp.float32)
+        if aux_bc_np is not None:
+            aux = jnp.concatenate([aux, jnp.asarray(aux_bc_np)], axis=0)
+        return f_0, fused(f_0, mask_i32, omega_c, aux=aux)
 
     return step
 
@@ -507,13 +526,18 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                 # 2D blocking is nearly free (same fetch as one step);
                 # k=8 measures best on v5e at 2048^2 (docs/performance.md)
                 temporal_steps = 8
-        if temporal_steps >= 2 and num_steps >= 2 and aux_dev is None:
+        if temporal_steps >= 2 and num_steps >= 2:
             try:
                 fused2 = build_fused_collide_stream_2d_kstep(vs, shape, steps=temporal_steps, **kw2)
-            except (NotImplementedError, AssertionError, ValueError):
+            except (NotImplementedError, AssertionError, ValueError) as e:
+                notify_fallback(f"fused 2D window: temporal blocking unavailable ({e}); running single steps")
                 fused2 = None
     else:
         if kernel == "dma" and shape[2] % 128 != 0:
+            notify_fallback(
+                f"fused window: z extent {shape[2]} is not a 128-multiple; using the "
+                "block-mapped kernel (no temporal blocking) instead of the manual-DMA kernel"
+            )
             kernel = "blocked"
         if kernel == "dma":
             from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
@@ -539,7 +563,6 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         eligible = (
             kernel == "dma"
             and num_steps >= 2
-            and aux_dev is None
             and shape[0] % tile[0] == 0
             and shape[1] % tile[1] == 0
         )
@@ -558,8 +581,86 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                     break
                 except ValueError:  # VMEM working set too large at this k
                     continue
+            if fused2 is None:
+                notify_fallback(
+                    f"fused window: temporal blocking (k={temporal_steps}) exceeds the VMEM "
+                    f"budget at tile {tile}; running single steps"
+                )
 
     w_shift = vs._w.reshape((vs.q,) + (1,) * vs.d).astype(np.dtype(pp.store_dtype))
+
+    # -- differentiability: the whole window reverses through the fused
+    # Pallas adjoint (kernels/adjoint_step.py) when the config is
+    # adjoint-eligible.  The backward checkpoints only the window INPUT,
+    # replays the forward with the single-step kernel while stacking the
+    # per-step states (store dtype), then scans the fused adjoint in
+    # reverse -- ~2 forward passes + 1 backward, all inside one jit.
+    # Memory is num_steps x field; differentiate long rollouts by chaining
+    # moderate windows under jax.checkpoint.
+    win_bwd = None
+    if vs.d == 3 and kernel == "dma":
+        from xlb_tpu.kernels.adjoint_step import build_fused_adjoint_3d
+
+        try:
+            win_bwd = build_fused_adjoint_3d(
+                vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+                compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
+                tile=tile, interpret=interpret, has_solids=has_solids,
+                force_vector=force_vector, shifted=shifted,
+            )
+        except (NotImplementedError, AssertionError):
+            win_bwd = None  # unsupported config: window stays forward-only
+
+    def _value(f_0, mask_i32, omega_c, aux):
+        g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
+        if fused2 is not None:
+            k = temporal_steps
+            g = jax.lax.fori_loop(0, num_steps // k, lambda i, g: fused2(g, mask_i32, omega_c, aux=aux), g)
+            for _ in range(num_steps % k):
+                g = fused(g, mask_i32, omega_c, aux=aux)
+        else:
+            g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c, aux=aux), g)
+        return g.astype(pp.compute_dtype) + w_shift.astype(pp.compute_dtype) if shifted else g
+
+    if win_bwd is None:
+        _window = _value
+    else:
+
+        @jax.custom_vjp
+        def _window(f_0, mask_i32, omega_c, aux):
+            return _value(f_0, mask_i32, omega_c, aux)
+
+        def _w_fwd(f_0, mask_i32, omega_c, aux):
+            return _value(f_0, mask_i32, omega_c, aux), (f_0, mask_i32, omega_c, aux)
+
+        def _w_bwd(res, gbar):
+            import numpy as _np
+
+            f_0, mask_i32, omega_c, aux = res
+            g0 = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
+
+            def fwd_scan(gc, _):
+                return fused(gc, mask_i32, omega_c, aux=aux), gc
+
+            _, states = jax.lax.scan(fwd_scan, g0, None, length=num_steps)
+
+            def bwd_scan(carry, g_primal):
+                ct, dom_acc = carry
+                df, dom_field = win_bwd(g_primal, ct, mask_i32, omega_c, aux=aux)
+                return (df, dom_acc + jnp.sum(dom_field.astype(pp.compute_dtype))), None
+
+            ct0 = gbar.astype(pp.compute_dtype)
+            (df0, dom), _ = jax.lax.scan(
+                bwd_scan, (ct0, jnp.zeros((), pp.compute_dtype)), states, reverse=True
+            )
+
+            def _zero(x):
+                return _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
+
+            daux = None if aux is None else jnp.zeros_like(aux)
+            return df0.astype(f_0.dtype), _zero(mask_i32), dom.astype(omega_c.dtype), daux
+
+        _window.defvjp(_w_fwd, _w_bwd)
 
     # donate=True frees the caller's population buffers for reuse inside
     # the window -- required headroom for domains near the HBM limit
@@ -568,15 +669,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     def _run(f_0, f_1, bc_mask, missing_mask, omega, aux):
         mask_i32 = pack_masks(bc_mask, missing_mask)
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
-        g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
-        if fused2 is not None:
-            k = temporal_steps
-            g = jax.lax.fori_loop(0, num_steps // k, lambda i, g: fused2(g, mask_i32, omega_c), g)
-            for _ in range(num_steps % k):
-                g = fused(g, mask_i32, omega_c)
-        else:
-            g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c, aux=aux), g)
-        f_out = g.astype(pp.compute_dtype) + w_shift.astype(pp.compute_dtype) if shifted else g
+        f_out = _window(f_0, mask_i32, omega_c, aux)
         return f_out, f_out
 
     def run(f_0, f_1, bc_mask, missing_mask, omega):

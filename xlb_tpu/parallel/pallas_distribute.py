@@ -17,9 +17,11 @@ GSPMD primitives instead of a C++ grid library:
 - The fused kernel runs in ``padded_halo`` mode: halo pieces read fixed
   pad-relative offsets (all 8-aligned), the output keeps the padded shape,
   and step groups go through the temporally-blocked k-step kernel with
-  depth-k pad exchanges (deepest feasible k in {4, 3, 2} by default) --
-  k steps of physics per ICI round trip, the halo-deepening trick that
-  trades a little edge recompute for 1/k the exchange count.
+  depth-k pad exchanges (k=2 by default, the single-chip optimum; request
+  deeper ``temporal_steps`` when the exchange dominates and the builder
+  searches downward from it) -- k steps of physics per ICI round trip, the
+  halo-deepening trick that trades a little edge recompute for 1/k the
+  exchange count.
 - ``overlap=True`` splits each iteration into an inner-tile kernel that
   reads the PRE-exchange carry (its tiles never touch the pads) and an
   edge-ring of four strip kernels that read the post-exchange carry,
@@ -40,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
-from xlb_tpu.kernels.fused_step import bc_to_spec, pack_masks, stepper_force_vector
+from xlb_tpu.kernels.fused_step import bc_to_spec, build_aux_field, pack_masks, stepper_force_vector
 from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
 from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_kstep
 
@@ -68,8 +70,11 @@ def build_distributed_fused_window(
     grid = stepper.grid
     vs = stepper.velocity_set
     pp = stepper.precision_policy
-    if vs.d != 3:
-        raise NotImplementedError("distributed fused path is 3-D; the jnp tier's distribute() covers 2-D")
+    if vs.d == 2:
+        return _build_distributed_fused_window_2d(
+            stepper, num_steps, tile_x=tile[0], interpret=interpret,
+            shifted=shifted, temporal_steps=temporal_steps,
+        )
     px, py = grid.mesh_shape[0], grid.mesh_shape[1]
     if grid.mesh_shape[2] != 1:
         raise NotImplementedError("z sharding conflicts with the fused kernel's resident-Z layout; shard x/y")
@@ -94,6 +99,11 @@ def build_distributed_fused_window(
             temporal_steps = 2
 
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    # static spatial-BC aux field (profile inlets, hybrid mesh distances):
+    # built once for the global grid, sharded like the mask, halo-extended
+    # inside each shard (depth K-1, one exchange -- it never changes)
+    aux_np = build_aux_field(stepper)
+    aux_global = None if aux_np is None else jnp.asarray(aux_np)
     kw = dict(
         collision=stepper.collision_type,
         bc_specs=bc_specs,
@@ -162,7 +172,7 @@ def build_distributed_fused_window(
             for sg in ((0, 0, 1, nY), (nX - 1, 0, 1, nY), (1, 0, nX - 2, 1), (1, nY - 1, nX - 2, 1))
         ]
 
-    def _local(f_loc, mask_loc, omega):
+    def _local(f_loc, mask_loc, aux_loc, omega):
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
         w_shift = vs._w.reshape((q, 1, 1, 1)).astype(np.dtype(pp.store_dtype))
         if shifted:
@@ -179,8 +189,15 @@ def build_distributed_fused_window(
             m0 = _exchange(m0[None], K - 1, 1)[0]
             m0 = _exchange(m0[None], K - 1, 2)[0]
             mask_in = m0
+            if aux_loc is not None:  # static: same one-time depth-(K-1) exchange
+                a0 = jnp.zeros((aux_loc.shape[0], Xl + 2 * TX, Yl + 2 * TY, Z), aux_loc.dtype)
+                a0 = lax.dynamic_update_slice(a0, aux_loc, (0, TX, TY, 0))
+                aux_in = _exchange(_exchange(a0, K - 1, 1), K - 1, 2)
+            else:
+                aux_in = None
         else:
             mask_in = mask_loc
+            aux_in = aux_loc  # single-step kernels read aux unpadded
 
         def body(_, g):
             g_post = _exchange(_exchange(g, depth, 1), depth, 2)
@@ -188,17 +205,17 @@ def build_distributed_fused_window(
                 # inner tiles never touch the pads, so they read the
                 # PRE-exchange carry: XLA's latency-hiding scheduler can run
                 # the ppermutes concurrently with this call (the OCC analogue)
-                out = fused_inner(g, mask_in, omega_c)
+                out = fused_inner(g, mask_in, omega_c, aux=aux_in)
                 for strip in ring_strips:
-                    out = strip(g_post, mask_in, omega_c, out_init=out)
+                    out = strip(g_post, mask_in, omega_c, out_init=out, aux=aux_in)
                 return out
-            return fused(g_post, mask_in, omega_c)
+            return fused(g_post, mask_in, omega_c, aux=aux_in)
 
         n_iters = num_steps // K
         g = lax.fori_loop(0, n_iters, body, g0)
         for _ in range(num_steps % K):  # remainder: single steps, depth-1 pads
             g = _exchange(_exchange(g, 1, 1), 1, 2)
-            g = fused_odd(g, mask_loc, omega_c)
+            g = fused_odd(g, mask_loc, omega_c, aux=aux_loc)
         f_out = lax.dynamic_slice(g, (0, TX, TY, 0), (q, Xl, Yl, Z))
         if shifted:
             # stay in the compute dtype: quantizing g + w back to 16 bits
@@ -210,20 +227,193 @@ def build_distributed_fused_window(
     fspec = grid.field_spec
     mask_spec = P(*grid.axis_names)
 
-    sharded = shard_map(
-        _local,
-        mesh=mesh,
-        in_specs=(fspec, mask_spec, P()),
-        out_specs=fspec,
-        # pallas_call out_shapes carry no varying-mesh-axes info
-        check_vma=False,
+    if aux_global is None:
+
+        def _local_noaux(f_loc, mask_loc, omega):
+            return _local(f_loc, mask_loc, None, omega)
+
+        sharded = shard_map(
+            _local_noaux,
+            mesh=mesh,
+            in_specs=(fspec, mask_spec, P()),
+            out_specs=fspec,
+            # pallas_call out_shapes carry no varying-mesh-axes info
+            check_vma=False,
+        )
+
+        @jax.jit
+        def run(f_0, f_1, bc_mask, missing_mask, omega):
+            mask_i32 = pack_masks(bc_mask, missing_mask)
+            f_out = sharded(f_0, mask_i32, jnp.asarray(omega, dtype=pp.compute_dtype))
+            return f_out, f_out
+
+    else:
+        # keep aux out of the jit closure (committed device arrays as jit
+        # constants stall lowering on this stack): the outer run passes it
+        # as an argument into the jitted core
+        aux_global = jax.device_put(aux_global, jax.sharding.NamedSharding(mesh, fspec))
+        sharded = shard_map(
+            _local,
+            mesh=mesh,
+            in_specs=(fspec, mask_spec, fspec, P()),
+            out_specs=fspec,
+            check_vma=False,
+        )
+
+        @jax.jit
+        def _run_aux(f_0, bc_mask, missing_mask, omega, aux):
+            mask_i32 = pack_masks(bc_mask, missing_mask)
+            f_out = sharded(f_0, mask_i32, aux, jnp.asarray(omega, dtype=pp.compute_dtype))
+            return f_out, f_out
+
+        def run(f_0, f_1, bc_mask, missing_mask, omega):
+            return _run_aux(f_0, bc_mask, missing_mask, omega, aux_global)
+
+    return run
+
+
+def _build_distributed_fused_window_2d(stepper, num_steps, tile_x=8, interpret=None, shifted=None, temporal_steps=None):
+    """2-D analogue of the 3-D windowed path: x-sharded shards keep a
+    TX-padded carry ``(q, Xl+2TX, Y)``, refresh depth-k x-pads with ring
+    ``ppermute`` per iteration, and run the padded-halo 2D (k-step) kernel
+    -- k steps of physics per ICI round trip.  y stays unsharded (it is the
+    kernel's lane-resident dimension).  Matches the reference's
+    dimension-generic distribute() (distribute.py:82-105) at fused speed."""
+    from xlb_tpu.kernels.collide_stream_2d import (
+        build_fused_collide_stream_2d,
+        build_fused_collide_stream_2d_kstep,
     )
 
-    @jax.jit
-    def run(f_0, f_1, bc_mask, missing_mask, omega):
-        mask_i32 = pack_masks(bc_mask, missing_mask)
-        f_out = sharded(f_0, mask_i32, jnp.asarray(omega, dtype=pp.compute_dtype))
-        return f_out, f_out
+    grid = stepper.grid
+    vs = stepper.velocity_set
+    pp = stepper.precision_policy
+    px = grid.mesh_shape[0]
+    if grid.mesh_shape[1] != 1:
+        raise NotImplementedError("2-D distributed fused path shards x only (y is the lane dimension)")
+    q = vs.q
+    Xl, Y = grid.shape[0] // px, grid.shape[1]
+    TX = tile_x
+    assert Xl % TX == 0 and TX % 8 == 0, f"tile_x {TX} must be an 8-multiple dividing the local shard x {Xl}"
+
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    if shifted is None:
+        shifted = jnp.dtype(pp.store_dtype).itemsize < 4
+    if temporal_steps is None:
+        temporal_steps = 8  # 2D blocking is nearly free (same fetch as one step)
+
+    bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    aux_np = build_aux_field(stepper)
+    aux_global = None if aux_np is None else jnp.asarray(aux_np)
+    nchan = 0 if aux_np is None else aux_np.shape[0]
+    kw = dict(
+        collision=stepper.collision_type,
+        bc_specs=bc_specs,
+        compute_dtype=pp.compute_dtype,
+        store_dtype=pp.store_dtype,
+        tile_x=TX,
+        interpret=interpret,
+        padded_halo=True,
+        shifted=shifted,
+        has_solids=getattr(stepper, "has_solids", True),
+        force_vector=stepper_force_vector(stepper),
+    )
+    local_shape = (Xl, Y)
+    fused = None
+    K = 1
+    for k in range(min(temporal_steps, num_steps, TX, 8), 1, -1):
+        try:
+            fused = build_fused_collide_stream_2d_kstep(vs, local_shape, steps=k, **kw)
+            K = k
+            break
+        except (ValueError, AssertionError):
+            continue
+    if fused is None:
+        fused = build_fused_collide_stream_2d(vs, local_shape, **kw)
+    fused_odd = build_fused_collide_stream_2d(vs, local_shape, **kw) if (K > 1 and num_steps % K) else None
+
+    x_fwd, x_bwd = _ring_perms(px)
+
+    def _exchange(g, d):
+        """Refresh depth-``d`` x-pads of ``g`` (axis 1) over the x ring."""
+        lo_send = lax.slice_in_dim(g, TX, TX + d, axis=1)
+        hi_send = lax.slice_in_dim(g, TX + Xl - d, TX + Xl, axis=1)
+        if px > 1:
+            from_prev = lax.ppermute(hi_send, perm=x_fwd, axis_name="x")
+            from_next = lax.ppermute(lo_send, perm=x_bwd, axis_name="x")
+        else:  # single shard: periodic wrap stays local
+            from_prev, from_next = hi_send, lo_send
+        idx_lo = [0] * g.ndim
+        idx_lo[1] = TX - d
+        g = lax.dynamic_update_slice(g, from_prev, tuple(idx_lo))
+        idx_hi = [0] * g.ndim
+        idx_hi[1] = TX + Xl
+        return lax.dynamic_update_slice(g, from_next, tuple(idx_hi))
+
+    def _local(f_loc, mask_loc, aux_loc, omega):
+        omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
+        w_shift = vs._w.reshape((q, 1, 1)).astype(np.dtype(pp.store_dtype))
+        if shifted:
+            f_loc = (f_loc.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype)
+
+        g0 = jnp.zeros((q, Xl + 2 * TX, Y), pp.store_dtype)
+        g0 = lax.dynamic_update_slice(g0, f_loc, (0, TX, 0))
+
+        if K > 1:
+            m0 = jnp.zeros((Xl + 2 * TX, Y), jnp.int32)
+            m0 = lax.dynamic_update_slice(m0, mask_loc, (TX, 0))
+            mask_in = _exchange(m0[None], K - 1)[0]
+            if aux_loc is not None:
+                a0 = jnp.zeros((nchan, Xl + 2 * TX, Y), aux_loc.dtype)
+                a0 = lax.dynamic_update_slice(a0, aux_loc, (0, TX, 0))
+                aux_in = _exchange(a0, K - 1)
+            else:
+                aux_in = None
+        else:
+            mask_in, aux_in = mask_loc, aux_loc
+
+        def body(_, g):
+            g_post = _exchange(g, K)
+            return fused(g_post, mask_in, omega_c, aux=aux_in)
+
+        g = lax.fori_loop(0, num_steps // K, body, g0)
+        for _ in range(num_steps % K):
+            g = _exchange(g, 1)
+            g = fused_odd(g, mask_loc, omega_c, aux=aux_loc)
+        f_out = lax.dynamic_slice(g, (0, TX, 0), (q, Xl, Y))
+        if shifted:
+            f_out = f_out.astype(pp.compute_dtype) + w_shift.astype(pp.compute_dtype)
+        return f_out
+
+    mesh = grid.global_mesh
+    fspec = grid.field_spec
+    mask_spec = P(*grid.axis_names)
+
+    if aux_global is None:
+
+        def _local_noaux(f_loc, mask_loc, omega):
+            return _local(f_loc, mask_loc, None, omega)
+
+        sharded = shard_map(_local_noaux, mesh=mesh, in_specs=(fspec, mask_spec, P()), out_specs=fspec, check_vma=False)
+
+        @jax.jit
+        def run(f_0, f_1, bc_mask, missing_mask, omega):
+            mask_i32 = pack_masks(bc_mask, missing_mask)
+            f_out = sharded(f_0, mask_i32, jnp.asarray(omega, dtype=pp.compute_dtype))
+            return f_out, f_out
+
+    else:
+        aux_global = jax.device_put(aux_global, jax.sharding.NamedSharding(mesh, fspec))
+        sharded = shard_map(_local, mesh=mesh, in_specs=(fspec, mask_spec, fspec, P()), out_specs=fspec, check_vma=False)
+
+        @jax.jit
+        def _run_aux(f_0, bc_mask, missing_mask, omega, aux):
+            mask_i32 = pack_masks(bc_mask, missing_mask)
+            f_out = sharded(f_0, mask_i32, aux, jnp.asarray(omega, dtype=pp.compute_dtype))
+            return f_out, f_out
+
+        def run(f_0, f_1, bc_mask, missing_mask, omega):
+            return _run_aux(f_0, bc_mask, missing_mask, omega, aux_global)
 
     return run
 
