@@ -59,9 +59,14 @@ def test_interior_geometry_masker_3d():
     bc_np = np.asarray(bc_mask)[0]
     miss_np = np.asarray(missing_mask)
 
-    # all original solid voxels are tagged (the shell adds more)
-    assert (bc_np[tuple(sphere_idx)] == bc.id).all()
-    assert (bc_np == bc.id).sum() > sphere_idx.shape[1]
+    # solid voxels are tagged BC_SOLID=255 (reference Warp masker,
+    # indices_boundary_masker.py:166-172) so steppers freeze them; the
+    # dilated fluid shell carries the BC id
+    assert (bc_np[tuple(sphere_idx)] == 255).all()
+    assert (bc_np == bc.id).sum() > 0
+    shell = bc_np == bc.id
+    sx, sy, sz = np.nonzero(shell)
+    assert not inside[sx, sy, sz].any()  # shell is outside the solid
 
     # a voxel just above the sphere pole (8, 8, 12): the pull direction with
     # c_z = +1... voxel (8,8,12) is outside (dist 16 > 9); its -z neighbour

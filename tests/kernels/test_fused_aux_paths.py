@@ -212,3 +212,55 @@ def test_distributed_window_profile_inlet_and_moving_wall():
     run = build_distributed_fused_window(stn, steps, tile=(4, 8), interpret=True, temporal_steps=2)
     ga, _ = run(g0, g1, bmn, mmn, 1.5)
     np.testing.assert_allclose(np.asarray(ga), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_distributed_window_hybrid_mesh_and_profile_inlet():
+    """VERDICT r2 #1 done-criterion (a): the distributed fused window
+    builds and parity-passes on a (2,4) mesh with a RegularizedBC velocity
+    PROFILE inlet and a HybridBC mesh object (per-link wall distances in
+    the aux weight channels), vs the single-device jnp tier."""
+    from xlb_tpu.boundary import HybridBC
+    from xlb_tpu.geometry import sphere_triangles
+    from xlb_tpu.parallel.pallas_distribute import build_distributed_fused_window
+
+    def _scene(mesh_shape, devices=None):
+        from xlb_tpu.boundary.registry import boundary_condition_registry
+
+        boundary_condition_registry.reset()
+        init_env(D3Q19)
+        n, nz = 32, 16
+        grid = grid_factory((n, n, nz), mesh_shape=mesh_shape, devices=devices)
+        box = grid.bounding_box_indices()
+        box_ne = grid.bounding_box_indices(remove_edges=True)
+        walls = np.unique(
+            np.concatenate([np.asarray(box[k]) for k in ("bottom", "top", "front", "back")], axis=1), axis=1
+        )
+        yz = 2 * ((np.arange(n) + 0.5) / n - 0.5)
+        rz = 2 * ((np.arange(nz) + 0.5) / nz - 0.5)
+        gy, gz = np.meshgrid(yz, rz, indexing="ij")
+        prescribed = np.zeros((3, 1, n, nz))
+        prescribed[0, 0] = 0.04 * np.maximum(0.0, 1.0 - gy**2 - gz**2)
+        tris = sphere_triangles(center=(n / 2, n / 2, nz / 2), radius=3.2, subdivisions=2)
+        bcs = [
+            FullwayBounceBackBC(indices=walls.tolist()),
+            RegularizedBC("velocity", profile=lambda: prescribed, indices=box_ne["left"]),
+            DoNothingBC(indices=box_ne["right"]),
+            HybridBC(bc_method="bounceback_regularized", mesh_vertices=tris, use_mesh_distance=True),
+        ]
+        stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+        return stepper, stepper.prepare_fields()
+
+    steps = 4
+    st1, (f0, f1, bm, mm) = _scene((1, 1, 1), devices=jax.devices()[:1])
+    hybrid = st1.boundary_conditions[-1]
+    assert hybrid._distances is not None and np.isfinite(hybrid._distances).any()
+    fa, fb = f0, f1
+    for t in range(steps):
+        fa, fb = st1(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+    expected = np.asarray(fa)
+
+    stn, (g0, g1, bmn, mmn) = _scene((2, 4, 1))
+    run = build_distributed_fused_window(stn, steps, tile=(4, 8), interpret=True, temporal_steps=2)
+    ga, _ = run(g0, g1, bmn, mmn, 1.5)
+    np.testing.assert_allclose(np.asarray(ga), expected, rtol=1e-5, atol=1e-6)

@@ -50,6 +50,7 @@ class IndicesBoundaryMasker(Operator):
             assert bc.indices is not None, f"{type(bc).__name__} has no indices; use a mesh masker for mesh-based BCs"
             bc_indices = np.asarray(bc.indices)
 
+            solid = None
             if self._interior_flags(bc_indices, grid_shape).any():
                 # interior geometry: the given indices are solid voxels; mark
                 # them as missing sources and tag the dilated shell
@@ -60,6 +61,14 @@ class IndicesBoundaryMasker(Operator):
                 tag_indices = bc_indices - origin + shift
 
             bc_ext = bc_ext.at[tuple(tag_indices)].set(bc.id)
+            if solid is not None and bc.needs_padding:
+                # fluid-side BCs (halfway/hybrid/ZouHe): the BC id lives on
+                # the dilated shell; the solid voxels themselves are tagged
+                # BC_SOLID so steppers freeze them (reference Warp masker,
+                # indices_boundary_masker.py:166-172).  Without this, a
+                # deeply-enclosed voxel with ~all directions missing keeps
+                # colliding and KBC's entropic ratio turns NaN.
+                bc_ext = bc_ext.at[tuple(solid)].set(255)
 
         miss_ext = stream_pull(miss_ext, self.velocity_set._c)
 

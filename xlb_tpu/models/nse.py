@@ -18,6 +18,7 @@ Two implementation tiers:
 from functools import partial
 
 import jax
+import jax.numpy as jnp
 
 from xlb_tpu.compute_backend import ComputeBackend
 from xlb_tpu.default_config import DefaultConfig
@@ -180,6 +181,12 @@ class IncompressibleNavierStokesStepper(Stepper):
             if bc.implementation_step == ImplementationStep.COLLISION:
                 f_post_collision = bc(f_post_stream, f_post_collision, bc_mask, missing_mask)
 
+        # solid voxels (cell type 255, e.g. the interior of halfway-BB
+        # geometry) keep their previous populations -- the reference Warp
+        # early-out (nse_stepper.py:440-441); matches the fused kernels'
+        # keep-out and prevents KBC NaNs at nearly-enclosed voxels
+        f_post_collision = jnp.where(bc_mask == 255, f_0c, f_post_collision)
+
         return f_0, pp.cast_to_store(f_post_collision)
 
     def _step_push(self, f_0, f_1, bc_mask, missing_mask, omega, timestep):
@@ -194,6 +201,9 @@ class IncompressibleNavierStokesStepper(Stepper):
             f_post_collision = bc.update_bc_auxiliary_data(f_post_stream_prev, f_post_collision, bc_mask, missing_mask)
             if bc.implementation_step == ImplementationStep.COLLISION:
                 f_post_collision = bc(f_post_stream_prev, f_post_collision, bc_mask, missing_mask)
+
+        # solid early-out (see _step_pull): solids neither collide nor move
+        f_post_collision = jnp.where(bc_mask == 255, f_post_stream_prev, f_post_collision)
 
         from xlb_tpu.ops.stream import stream_push
 
