@@ -26,7 +26,7 @@ def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3, mre
     shape = (n, n, n)
     parent = shape
     for _ in range(levels - 1):
-        extent = tuple(max(8, int(s * box_frac) // 8 * 8) for s in parent)
+        extent = tuple(min(p, max(8, int(p * box_frac) // 8 * 8)) for p in parent)
         origin = tuple((s - e) // 2 for s, e in zip(parent, extent))
         boxes.append((origin, extent))
         parent = tuple(2 * e for e in extent)
@@ -61,8 +61,10 @@ def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3, mre
 if __name__ == "__main__":
     parser = MresPerfOptimizationType.build_arg_parser(argparse.ArgumentParser())
     parser.add_argument("--coarse-edge", type=int, default=64)
+    parser.add_argument("--box-frac", type=float, default=0.5,
+                        help="refined-box edge as a fraction of the parent (1.0 = full-domain refinement)")
     parser.add_argument("--levels", type=int, default=2)
     parser.add_argument("--steps", type=int, default=20)
     args = parser.parse_args()
-    run(coarse_edge=args.coarse_edge, levels=args.levels, num_coarse_steps=args.steps,
-        mres_perf=args.mres_perf_optimization)
+    run(coarse_edge=args.coarse_edge, box_frac=args.box_frac, levels=args.levels,
+        num_coarse_steps=args.steps, mres_perf=args.mres_perf_optimization)

@@ -42,14 +42,12 @@ class MultiresSimulationManager:
         window = num_coarse_steps if window is None else min(window, num_coarse_steps)
         if getattr(self, "_window_n", None) != window:
             self._window_n = window
-            self._jitted_window = jax.jit(
-                lambda fs: jax.lax.fori_loop(
-                    0, window, lambda i, fs: self.stepper(fs, self.bc_mask, self.missing_mask, self.omega), fs
-                )
-            )
+            # resident-ring window: the finest level's ghost-extended state
+            # stays on the device across all coarse steps of the window
+            self._jitted_window = self.stepper.build_window(window, donate=False)
         done = 0
         while done + window <= num_coarse_steps:
-            self.f_0 = self._jitted_window(self.f_0)
+            self.f_0 = self._jitted_window(self.f_0, self.bc_mask, self.missing_mask, self.omega)
             self.iteration_idx += window
             done += window
         for _ in range(num_coarse_steps - done):

@@ -37,9 +37,85 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xlb_tpu.kernels.collide_stream import _build_kernel_body, _roll_lane, kernel_bc_id
+from xlb_tpu.kernels.collide_stream import _build_kernel_body, _roll_lane, kernel_bc_id, spec_uses_aux
 
 SUPPORTED_KINDS = {"fullway", "equilibrium", "do_nothing", "halfway"}
+
+
+def _build_cts_substep(vs, collision, bc_specs, compute_dtype, store_dtype, force_vector=None):
+    """Shared collide-THEN-stream sub-step on (Ex, Ey, Ze) slabs.
+
+    Returns ``substep(f_pre, packed_e, omega) -> f_s``: collides the whole
+    slab (collision BCs + ghost-ring keep for cell-type 254), pull-streams,
+    applies streaming BCs, and returns post-stream slabs shrunk by one cell
+    per x/y side.  Used by both the block-mapped kernel below and the
+    thin-piece pair kernel (build_fused_cts_pair_thin)."""
+    from xlb_tpu.kernels.collide_stream import _build_kernel_body
+
+    body = _build_kernel_body(vs, collision, [], compute_dtype, store_dtype, None, None, force_vector=None)
+    moments, equilibrium, collide = body.moments, body.equilibrium, body.collide
+    q, d = vs.q, vs.d
+    c = vs._c
+    opp = vs._opp_indices
+    cdt = compute_dtype
+
+    def substep(f_pre, packed_e, omega):
+        bc_e = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_e, 27), 31)
+        rho, u = moments(f_pre)
+        feq = equilibrium(rho, u)
+        f_pc = collide(f_pre, feq, omega)
+        if force_vector is not None:
+            u_f = [u[a] + cdt(force_vector[a]) for a in range(d)]
+            feq_f = equilibrium(rho, u_f)
+            f_pc = [f_pc[l] + (feq_f[l] - feq[l]) for l in range(q)]
+        for spec in bc_specs:
+            if spec["step"] != "collision":
+                continue
+            on = bc_e == kernel_bc_id(spec["id"])
+            if spec["kind"] == "fullway":
+                f_pc = [jnp.where(on, f_pre[opp[l]], f_pc[l]) for l in range(q)]
+        # ghost ring (cell-type 254 -> packed 30) keeps its exploded values;
+        # solid voxels (255 -> 31) freeze likewise
+        keep = jnp.logical_or(bc_e == 30, bc_e == 31)
+        f_pc = [jnp.where(keep, f_pre[l], f_pc[l]) for l in range(q)]
+
+        Ex, Ey = f_pre[0].shape[0], f_pre[0].shape[1]
+        f_s = []
+        for l in range(q):
+            cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
+            x0, y0 = 1 - cx, 1 - cy
+            f_s.append(_roll_lane(f_pc[l][x0 : x0 + Ex - 2, y0 : y0 + Ey - 2, :], cz))
+
+        packed = packed_e[1:-1, 1:-1, :]
+        bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
+
+        def missing(l):
+            return jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, l), 1) == 1
+
+        core = (slice(1, Ex - 1), slice(1, Ey - 1), slice(None))
+        for spec in bc_specs:
+            if spec["step"] != "streaming":
+                continue
+            on = bc == kernel_bc_id(spec["id"])
+            kind = spec["kind"]
+            if kind == "equilibrium":
+                feq_p = spec["feq"]
+                f_s = [jnp.where(on, cdt(feq_p[l]), f_s[l]) for l in range(q)]
+            elif kind == "do_nothing":
+                f_s = [jnp.where(on, f_pc[l][core], f_s[l]) for l in range(q)]
+            elif kind == "halfway":
+                mw = spec.get("mw")
+                for l in range(q):
+                    refl = f_pc[opp[l]][core] if mw is None else f_pc[opp[l]][core] + cdt(mw[l])
+                    f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
+        # solid early-out: solid voxels (255 -> 31) end the sub-step with
+        # their starting populations (reference Warp nse_stepper.py:440-441;
+        # same freeze as the NSE tiers)
+        solid = bc == 31
+        f_s = [jnp.where(solid, f_pre[l][core], f_s[l]) for l in range(q)]
+        return f_s
+
+    return substep
 
 
 def build_fused_collide_then_stream(
@@ -76,60 +152,7 @@ def build_fused_collide_then_stream(
         if spec["kind"] not in SUPPORTED_KINDS or spec_uses_aux(spec):
             raise NotImplementedError(f"BC kind {spec['kind']!r} unsupported by the multires CTS kernel")
 
-    body = _build_kernel_body(vs, collision, [], compute_dtype, store_dtype, None, None, force_vector=None)
-    moments, equilibrium, collide = body.moments, body.equilibrium, body.collide
-
-    def substep(f_pre, packed_e, omega):
-        """One collide+stream sub-step on (Ex, Ey, Ze) slabs, returning
-        post-stream slabs shrunk by one cell per x/y side."""
-        bc_e = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_e, 27), 31)
-        rho, u = moments(f_pre)
-        feq = equilibrium(rho, u)
-        f_pc = collide(f_pre, feq, omega)
-        if force_vector is not None:
-            u_f = [u[a] + cdt(force_vector[a]) for a in range(d)]
-            feq_f = equilibrium(rho, u_f)
-            f_pc = [f_pc[l] + (feq_f[l] - feq[l]) for l in range(q)]
-        for spec in bc_specs:
-            if spec["step"] != "collision":
-                continue
-            on = bc_e == kernel_bc_id(spec["id"])
-            if spec["kind"] == "fullway":
-                f_pc = [jnp.where(on, f_pre[opp[l]], f_pc[l]) for l in range(q)]
-        # ghost ring (cell-type 254 -> packed 30) keeps its exploded values
-        keep = bc_e == 30
-        f_pc = [jnp.where(keep, f_pre[l], f_pc[l]) for l in range(q)]
-
-        Ex, Ey = f_pre[0].shape[0], f_pre[0].shape[1]
-        f_s = []
-        for l in range(q):
-            cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
-            x0, y0 = 1 - cx, 1 - cy
-            f_s.append(_roll_lane(f_pc[l][x0 : x0 + Ex - 2, y0 : y0 + Ey - 2, :], cz))
-
-        packed = packed_e[1:-1, 1:-1, :]
-        bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
-
-        def missing(l):
-            return jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, l), 1) == 1
-
-        core = (slice(1, Ex - 1), slice(1, Ey - 1), slice(None))
-        for spec in bc_specs:
-            if spec["step"] != "streaming":
-                continue
-            on = bc == kernel_bc_id(spec["id"])
-            kind = spec["kind"]
-            if kind == "equilibrium":
-                feq_p = spec["feq"]
-                f_s = [jnp.where(on, cdt(feq_p[l]), f_s[l]) for l in range(q)]
-            elif kind == "do_nothing":
-                f_s = [jnp.where(on, f_pc[l][core], f_s[l]) for l in range(q)]
-            elif kind == "halfway":
-                mw = spec.get("mw")
-                for l in range(q):
-                    refl = f_pc[opp[l]][core] if mw is None else f_pc[opp[l]][core] + cdt(mw[l])
-                    f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
-        return f_s
+    substep = _build_cts_substep(vs, collision, bc_specs, compute_dtype, store_dtype, force_vector)
 
     def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11,
                m_center, m_xlo, m_xhi, m_ylo, m_yhi, m_c00, m_c01, m_c10, m_c11,
@@ -225,6 +248,212 @@ def build_fused_collide_then_stream(
         out_shape=jax.ShapeDtypeStruct((q, Xe, Ye, Ze), store_dtype),
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )
+
+    def step(f_ext, mask_ext, omega):
+        omega_arr = jnp.asarray(omega, dtype=compute_dtype).reshape(1, 1)
+        return fused(omega_arr, *([f_ext] * 9), *([mask_ext] * 9))
+
+    return step
+
+
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def build_fused_cts_pair_thin(
+    velocity_set,
+    ext_shape,
+    collision="BGK",
+    bc_specs=(),
+    compute_dtype=jnp.float32,
+    store_dtype=jnp.float32,
+    tile=(16, 32),
+    interpret=False,
+    force_vector=None,
+    coalesce_out=False,
+):
+    """Thin-piece collide-then-stream PAIR over a ring-extended level array.
+
+    Both finest-level sub-steps of a coarse multires step in one HBM round
+    trip, like ``pair=True`` above, but with a low-amplification fetch: the
+    nine-spec trick fetches x-halos as 2-wide strips on the UNTILED leading
+    dim and y-halos as the adjacent 8-row sublane blocks (block shapes with
+    an 8-multiple sublane extent are Mosaic-legal; only 1-deep sublane
+    strips are not), instead of full neighbor blocks.  Read amplification
+    at tile (16, 32) is ~1.9x versus ~4.5x for the full-block fetch -- the
+    difference between ~800 MLUPS and multi-GLUPS at 3-D multires scale
+    (reference crown-jewel capability, nse_multires_stepper.py:933-1110).
+
+    The grid covers ALL tiles of the extended array: ring cells (packed
+    cell-type 30) re-emit their input values through the in-kernel keep, so
+    the output is a full drop-in loop carry -- no per-step pad/crop, and
+    per-axis ring widths only need to make the extents tile-divisible
+    (models/multires.py chooses them).  Edge tiles' halo pieces wrap
+    modularly; wrapped data only feeds ring-cell outputs.  Any lane extent
+    works (no manual DMA -> no 128-multiple constraint).
+
+    With ``coalesce_out=True`` the kernel ALSO emits the 2x2 x/y-summed
+    core populations (q, Xe/2, Ye/2, Zl) as a second output -- most of the
+    fine->coarse coalescence for free at write time, saving the separate
+    full-array read the host-side average would cost (the caller finishes
+    with a cheap z-pair sum on the 4x smaller array).  Requires even TX/2
+    alignment: TX % 4 == 0... (TX, TY multiples of 2 and 16).
+    """
+    vs = velocity_set
+    q, d = vs.q, vs.d
+    assert d == 3, "the CTS pair kernel is 3-D"
+    Xe, Ye, Zl = ext_shape
+    TX, TY = tile
+    assert Xe % TX == 0 and Ye % TY == 0, f"tile {tile} must divide extended shape {ext_shape[:2]}"
+    assert TX % 2 == 0 and TY % 8 == 0, "TX must be even (2-wide x strips), TY an 8-multiple"
+    assert Ye % 8 == 0, "the 8-row y-halo blocks must tile the y extent"
+    if coalesce_out:
+        assert TY % 16 == 0 and Xe % 2 == 0, "coalesce_out needs 8-mult TY/2 sublanes"
+    nX, nY = Xe // TX, Ye // TY
+    cdt = compute_dtype
+
+    for spec in bc_specs:
+        if spec["kind"] not in SUPPORTED_KINDS or spec_uses_aux(spec):
+            raise NotImplementedError(f"BC kind {spec['kind']!r} unsupported by the multires CTS kernel")
+
+    substep = _build_cts_substep(vs, collision, bc_specs, compute_dtype, store_dtype, force_vector)
+
+    isz = np.dtype(store_dtype).itemsize
+    vmem_est = (
+        2 * 2 * q * (TX * TY + 2 * 2 * TY + 2 * 8 * TX + 4 * 16) * Zl * isz  # in pieces (dbl-buffered)
+        + q * (TX + 4) * (TY + 4) * Zl * 4  # assembled ext scratch (f32)
+        + (TX + 4) * (TY + 4) * Zl * 4  # assembled mask scratch
+        + q * (TX + 2) * (TY + 2) * Zl * isz  # A -> B intermediate
+        + 2 * q * TX * TY * Zl * isz  # pipelined output
+    )
+    if vmem_est > _VMEM_BUDGET:
+        raise ValueError(
+            f"CTS-pair working set ~{vmem_est / 2**20:.0f} MB exceeds {_VMEM_BUDGET / 2**20:.0f} MB "
+            f"(tile {tile}, Zl {Zl}, store {np.dtype(store_dtype).name})"
+        )
+
+    def kernel(omega_ref, center, xlo, xhi, ylo, yhi, c00, c01, c10, c11,
+               m_center, m_xlo, m_xhi, m_ylo, m_yhi, m_c00, m_c01, m_c10, m_c11,
+               out, *rest):
+        if coalesce_out:
+            out2, ext, mext, inter = rest
+        else:
+            ext, mext, inter = rest
+            out2 = None
+        omega = cdt(omega_ref[0, 0])
+
+        # ---- assemble the depth-2 halo region (TX+4, TY+4) ---------------
+        ext[:, 2 : TX + 2, 2 : TY + 2, :] = center[...].astype(cdt)
+        ext[:, 0:2, 2 : TY + 2, :] = xlo[...].astype(cdt)
+        ext[:, TX + 2 : TX + 4, 2 : TY + 2, :] = xhi[...].astype(cdt)
+        ext[:, 2 : TX + 2, 0:2, :] = ylo[:, :, 6:8, :].astype(cdt)
+        ext[:, 2 : TX + 2, TY + 2 : TY + 4, :] = yhi[:, :, 0:2, :].astype(cdt)
+        ext[:, 0:2, 0:2, :] = c00[:, :, 6:8, :].astype(cdt)
+        ext[:, 0:2, TY + 2 : TY + 4, :] = c01[:, :, 0:2, :].astype(cdt)
+        ext[:, TX + 2 : TX + 4, 0:2, :] = c10[:, :, 6:8, :].astype(cdt)
+        ext[:, TX + 2 : TX + 4, TY + 2 : TY + 4, :] = c11[:, :, 0:2, :].astype(cdt)
+        mext[2 : TX + 2, 2 : TY + 2, :] = m_center[...]
+        mext[0:2, 2 : TY + 2, :] = m_xlo[...]
+        mext[TX + 2 : TX + 4, 2 : TY + 2, :] = m_xhi[...]
+        mext[2 : TX + 2, 0:2, :] = m_ylo[:, 6:8, :]
+        mext[2 : TX + 2, TY + 2 : TY + 4, :] = m_yhi[:, 0:2, :]
+        mext[0:2, 0:2, :] = m_c00[:, 6:8, :]
+        mext[0:2, TY + 2 : TY + 4, :] = m_c01[:, 0:2, :]
+        mext[TX + 2 : TX + 4, 0:2, :] = m_c10[:, 6:8, :]
+        mext[TX + 2 : TX + 4, TY + 2 : TY + 4, :] = m_c11[:, 0:2, :]
+
+        f_pre = [ext[l] for l in range(q)]
+        packed_A = mext[...]
+
+        # sub-step A on (TX+4, TY+4) -> (TX+2, TY+2)
+        f_s = substep(f_pre, packed_A, omega)
+
+        # storage round trip + ring restore (both sub-steps share one
+        # explosion; A's post-stream ring outputs are garbage)
+        packed_mid = packed_A[1:-1, 1:-1, :]
+        keep_mid = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_mid, 27), 31) >= 30
+        for l in range(q):
+            inter[l] = jnp.where(
+                keep_mid, f_pre[l][1:-1, 1:-1, :], f_s[l].astype(store_dtype).astype(cdt)
+            ).astype(store_dtype)
+
+        # sub-step B on (TX+2, TY+2) -> the (TX, TY) core
+        f_mid = [inter[l].astype(cdt) for l in range(q)]
+        f_core = substep(f_mid, packed_mid, omega)
+        for l in range(q):
+            v = f_core[l].astype(store_dtype)
+            out[l] = v
+            if coalesce_out:
+                # sum the STORE-rounded values so the host-side z-pair sum
+                # reproduces models/multires._coalesce_avg bit-for-bit.
+                # Pair sums via reshape-split (Mosaic-legal on the major and
+                # sublane dims); strided slices lower to >2-D gathers and
+                # fail to compile.
+                vc = v.astype(cdt)
+                a = vc.reshape(TX // 2, 2, TY, Zl).sum(axis=1)
+                out2[l] = (
+                    a.reshape(TX // 2, TY // 2, 2, Zl).sum(axis=2).astype(cdt).astype(store_dtype)
+                )
+
+    # ---- nine thin specs --------------------------------------------------
+    nx2, ny8 = Xe // 2, Ye // 8  # piece-block grids
+    tx2, ty8 = TX // 2, TY // 8
+
+    def f_spec(bx, by, dx, dy, gx, gy):
+        return pl.BlockSpec(
+            (q, bx, by, Zl),
+            lambda i, j, _dx=dx, _dy=dy, _gx=gx, _gy=gy: (
+                0, jax.lax.rem(_dx(i) + _gx, _gx), jax.lax.rem(_dy(j) + _gy, _gy), 0
+            ),
+        )
+
+    def m_spec(bx, by, dx, dy, gx, gy):
+        return pl.BlockSpec(
+            (bx, by, Zl),
+            lambda i, j, _dx=dx, _dy=dy, _gx=gx, _gy=gy: (
+                jax.lax.rem(_dx(i) + _gx, _gx), jax.lax.rem(_dy(j) + _gy, _gy), 0
+            ),
+        )
+
+    def nine(spec):
+        return [
+            spec(TX, TY, lambda i: i, lambda j: j, nX, nY),                  # center
+            spec(2, TY, lambda i: i * tx2 - 1, lambda j: j, nx2, nY),        # x-lo strip
+            spec(2, TY, lambda i: (i + 1) * tx2, lambda j: j, nx2, nY),      # x-hi strip
+            spec(TX, 8, lambda i: i, lambda j: j * ty8 - 1, nX, ny8),        # y-lo 8-row block
+            spec(TX, 8, lambda i: i, lambda j: (j + 1) * ty8, nX, ny8),      # y-hi 8-row block
+            spec(2, 8, lambda i: i * tx2 - 1, lambda j: j * ty8 - 1, nx2, ny8),
+            spec(2, 8, lambda i: i * tx2 - 1, lambda j: (j + 1) * ty8, nx2, ny8),
+            spec(2, 8, lambda i: (i + 1) * tx2, lambda j: j * ty8 - 1, nx2, ny8),
+            spec(2, 8, lambda i: (i + 1) * tx2, lambda j: (j + 1) * ty8, nx2, ny8),
+        ]
+
+    out_specs = pl.BlockSpec((q, TX, TY, Zl), lambda i, j: (0, i, j, 0))
+    out_shape = jax.ShapeDtypeStruct((q, Xe, Ye, Zl), store_dtype)
+    if coalesce_out:
+        out_specs = [
+            out_specs,
+            pl.BlockSpec((q, TX // 2, TY // 2, Zl), lambda i, j: (0, i, j, 0)),
+        ]
+        out_shape = [out_shape, jax.ShapeDtypeStruct((q, Xe // 2, Ye // 2, Zl), store_dtype)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(nX, nY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + nine(f_spec) + nine(m_spec),
+        out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.VMEM((q, TX + 4, TY + 4, Zl), compute_dtype),
+            pltpu.VMEM((TX + 4, TY + 4, Zl), jnp.int32),
+            pltpu.VMEM((q, TX + 2, TY + 2, Zl), store_dtype),
+        ],
+    )
+
+    fused = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(vmem_limit_bytes=_VMEM_BUDGET + 8 * 2**20),
     )
 
     def step(f_ext, mask_ext, omega):

@@ -111,7 +111,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         self.mres_perf_opt = mres_perf_opt
         self._fused_collide = [None] * grid.num_levels
         self._cts = None  # fused collide-then-stream kernel for the finest level
-        self._cts_ring = 1
+        self._cts_ring = (1, 1, 1)  # per-axis ghost-ring widths of the ext array
+        self.active_finest_tier = "jnp"
         if mres_perf_opt == MresPerfOptimizationType.FUSION_AT_FINEST:
             fused_levels = ()
             self._build_cts_finest()
@@ -126,44 +127,127 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         if fused_levels:
             self._build_fused_collides(fused_levels)
 
+    @staticmethod
+    def _ring_for(extent, tile_extent):
+        """Smallest ring width >= 2 making ``extent + 2*ring`` a multiple of
+        ``tile_extent`` (requires an even extent; rings grow in steps of
+        tile_extent/2... i.e. step tile_extent once doubled)."""
+        if extent % 2:
+            return None
+        half = tile_extent // 2 if tile_extent % 2 == 0 else tile_extent
+        g = (-(extent // 2)) % half
+        while g < 2:
+            g += half
+        return g
+
     def _build_cts_finest(self):
-        """The finest level has no children, so its whole sub-step (collide
-        -> BCs -> ghost-ring stream -> BCs) fuses into one Pallas pass
-        (kernels/collide_then_stream.py).  Falls back to the jnp tier when
-        the level shape or BC list doesn't qualify."""
+        """The finest level has no children, so BOTH its sub-steps of a
+        coarse step (collide -> BCs -> ghost-ring stream -> BCs, twice)
+        fuse into one Pallas pass.  Preferred tier: the thin-piece pair
+        kernel (per-axis rings, ~1.9x read amplification); fallback: the
+        block-mapped pair kernel (common ring, ~4.5x); last resort: the
+        jnp tier (with a fallback notice)."""
         import jax as _jax
 
+        from xlb_tpu.utils.tiers import notify_fallback
         from xlb_tpu.kernels.fused_step import bc_to_spec, stepper_force_vector  # noqa: F401
-        from xlb_tpu.kernels.collide_then_stream import build_fused_collide_then_stream
+        from xlb_tpu.kernels.collide_then_stream import (
+            build_fused_collide_then_stream,
+            build_fused_cts_pair_thin,
+        )
 
         if self.grid.dim != 3 or self.grid.num_levels < 2:
             return
         shape = self.grid.levels[0].shape
-        X, Y, _ = shape
-        if X % 2 or Y % 2 or (X - Y) % 8:
-            return  # no common ring width aligns both extents to 8
-        g = ((8 - X % 8) % 8) // 2
-        if g < 2:
-            g += 4  # the pair kernel's depth-2 pulls must stay inside the ring
-        ext_shape = tuple(s + 2 * g for s in shape)
-        if ext_shape[0] % 8 or ext_shape[1] % 8:
-            return
+        X, Y, Z = shape
+        interpret = _jax.default_backend() == "cpu"
         try:
             specs = [bc_to_spec(bc, self.velocity_set) for bc in self.boundary_conditions.get(0, [])]
-            self._cts = build_fused_collide_then_stream(
-                self.velocity_set,
-                ext_shape,
-                collision=self.collision_type,
-                bc_specs=specs,
-                compute_dtype=self.precision_policy.compute_dtype,
-                store_dtype=self.precision_policy.store_dtype,
-                tile=(8, 8),
-                interpret=_jax.default_backend() == "cpu",
-                pair=True,
+        except NotImplementedError as e:
+            notify_fallback(f"multires finest level stays on the jnp tier: {e}")
+            return
+
+        # ---- preferred: thin-piece pair with per-axis rings --------------
+        # Rank (tile, ring) candidates by total HBM traffic: ring-area
+        # inflation (the grid covers ALL ext tiles) x per-tile halo read
+        # amplification.  A slightly odd TX that makes the ring collapse to
+        # 2 (e.g. TX=20 for X=96 -> Xe=100) beats a power of two with a
+        # fat alignment ring.
+        candidates = []
+        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
+            gx = self._ring_for(X, TXc)
+            if gx is None:
+                continue
+            for TYc in (8, 16, 24, 32):
+                gy = self._ring_for(Y, TYc)
+                if gy is None:
+                    continue
+                area = (X + 2 * gx) * (Y + 2 * gy) / (X * Y)
+                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
+                candidates.append((area * amp, (TXc, TYc), gx, gy))
+        gz = 2
+        for _, tile, gx, gy in sorted(candidates):
+            ext_shape = (X + 2 * gx, Y + 2 * gy, Z + 2 * gz)
+            # in-kernel 2x2 x/y coalescence needs even rings (fine-cell
+            # pairs aligned to ext pairs) and f32 storage (sum rounding
+            # matches the jnp tier bit-for-bit only without a 16-bit cast)
+            co = (
+                gx % 2 == 0
+                and gy % 2 == 0
+                and tile[1] % 16 == 0
+                and self.precision_policy.store_dtype == jnp.float32
             )
-            self._cts_ring = g
-        except NotImplementedError:
-            self._cts = None
+            try:
+                self._cts = build_fused_cts_pair_thin(
+                    self.velocity_set,
+                    ext_shape,
+                    collision=self.collision_type,
+                    bc_specs=specs,
+                    compute_dtype=self.precision_policy.compute_dtype,
+                    store_dtype=self.precision_policy.store_dtype,
+                    tile=tile,
+                    interpret=interpret,
+                    coalesce_out=co,
+                )
+                self._cts_ring = (gx, gy, gz)
+                self._cts_has_coalesce = co
+                self.active_finest_tier = f"cts_pair_thin tile {tile} ring {self._cts_ring}" + (" +coalesce" if co else "")
+                return
+            except (NotImplementedError, ValueError):
+                continue
+
+        # ---- fallback: block-mapped pair (needs one common ring) ---------
+        if not (X % 2 or Y % 2 or (X - Y) % 8):
+            g = ((8 - X % 8) % 8) // 2
+            if g < 2:
+                g += 4  # the pair kernel's depth-2 pulls must stay inside the ring
+            ext_shape = tuple(s + 2 * g for s in shape)
+            if ext_shape[0] % 8 == 0 and ext_shape[1] % 8 == 0:
+                try:
+                    self._cts = build_fused_collide_then_stream(
+                        self.velocity_set,
+                        ext_shape,
+                        collision=self.collision_type,
+                        bc_specs=specs,
+                        compute_dtype=self.precision_policy.compute_dtype,
+                        store_dtype=self.precision_policy.store_dtype,
+                        tile=(8, 8),
+                        interpret=interpret,
+                        pair=True,
+                    )
+                    self._cts_ring = (g, g, g)
+                    self.active_finest_tier = f"cts_pair_blocked ring {g}"
+                    notify_fallback(
+                        "multires finest level uses the block-mapped pair kernel "
+                        f"(no DMA tile fits shape {shape}); expect ~2x more HBM reads"
+                    )
+                    return
+                except NotImplementedError as e:
+                    notify_fallback(f"multires finest level stays on the jnp tier: {e}")
+                    return
+        notify_fallback(
+            f"multires finest level stays on the jnp tier: no kernel tile/ring fits shape {shape}"
+        )
 
     def _build_fused_collides(self, levels):
         import jax as _jax
@@ -193,12 +277,15 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
     # ------------------------------------------------------------------
     def _build_ghost_gather(self, level, ring=1):
         """Static index maps: every cell of the fine level's ring-extended
-        box -> the parent-level cell containing it."""
+        box -> the parent-level cell containing it.  ``ring`` may be a
+        scalar or a per-axis tuple."""
         lvl = self.grid.levels[level]
         parent_shape = self.grid.levels[level + 1].shape
+        if np.isscalar(ring):
+            ring = (ring,) * self.grid.dim
         maps = []
         for d in range(self.grid.dim):
-            fine_coords = np.arange(-ring, lvl.shape[d] + ring)  # extended fine indices
+            fine_coords = np.arange(-ring[d], lvl.shape[d] + ring[d])  # extended fine indices
             parent_idx = lvl.origin_in_parent[d] + np.floor((fine_coords + 0.5) / 2.0).astype(np.int64)
             parent_idx = np.clip(parent_idx, 0, parent_shape[d] - 1)
             maps.append(parent_idx)
@@ -281,18 +368,37 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             out = jnp.take(out, jnp.asarray(g), axis=axis + 1)
         return out
 
+    def _coalesce_avg(self, f_fine, level_fine):
+        """The 2^d-child average of a fine level's populations.
+
+        Pairwise strided adds on the leading spatial axes + a trailing
+        reshape-sum on the minor (lane) axis: ~1.5x faster on TPU than the
+        single reshape-mean over all axes (measured), identical in f32."""
+        d = self.grid.dim
+        shape = self.grid.levels[level_fine].shape
+        avg = f_fine
+        for a in range(d - 1):
+            s0 = [slice(None)] * (d + 1)
+            s1 = [slice(None)] * (d + 1)
+            s0[a + 1] = slice(0, None, 2)
+            s1[a + 1] = slice(1, None, 2)
+            avg = avg[tuple(s0)] + avg[tuple(s1)]
+        new_shape = avg.shape[:-1] + (shape[d - 1] // 2, 2)
+        return avg.reshape(new_shape).sum(axis=-1) * self.precision_policy.compute_dtype(0.5**d)
+
+    def _avg_from_out2(self, out2):
+        """Finish the fine->coarse average from the pair kernel's 2x2
+        x/y-summed side output: slice the interior, z-pair sum, scale."""
+        gx, gy, gz = self._cts_ring
+        X, Y, Z = self.grid.levels[0].shape
+        sl = out2[:, gx // 2 : (gx + X) // 2, gy // 2 : (gy + Y) // 2, gz : gz + Z]
+        sl = sl.astype(self.precision_policy.compute_dtype)
+        return (sl[..., 0::2] + sl[..., 1::2]) * self.precision_policy.compute_dtype(0.125)
+
     def _coalesce(self, f_coarse, f_fine, level_fine):
         """Average 2^d fine children into the refined coarse cells."""
         lvl = self.grid.levels[level_fine]
-        d = self.grid.dim
-        q = self.velocity_set.q
-        shape = lvl.shape
-        resh = [q]
-        mean_axes = []
-        for a in range(d):
-            resh += [shape[a] // 2, 2]
-            mean_axes.append(2 + 2 * a)
-        avg = f_fine.reshape(resh).mean(axis=tuple(mean_axes))
+        avg = self._coalesce_avg(f_fine, level_fine)
         slc = (slice(None),) + tuple(
             slice(o, o + e) for o, e in zip(lvl.origin_in_parent, lvl.extent_in_parent)
         )
@@ -311,48 +417,153 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         return f_post
 
     # ------------------------------------------------------------------
-    def _advance(self, level, fs, bms, mms, omega_finest, probe=None):
+    def _freeze_solids(self, level, f_before, f_after, bms):
+        """Solid early-out (reference Warp nse_stepper.py:440-441; matches
+        the fused kernels): voxels tagged 255 end the sub-step unchanged."""
+        bcs = self.boundary_conditions.get(level, [])
+        if not bcs:
+            return f_after
+        return jnp.where(bms[level] == 255, f_before, f_after)
+
+    def _fully_refined_fast(self, level, probe):
+        """True when ``level``'s whole domain is covered by its child level
+        AND its collision output is therefore fully overwritten by the
+        coalescence: the bulk collide can be skipped (only the explosion
+        face slabs need collided values).  Aux-staging BCs write into the
+        post-collision state, so their presence disables the shortcut."""
+        if level == 0 or probe is not None:
+            return False
+        child_lvl = self.grid.levels[level - 1]
+        if child_lvl.extent_in_parent != self.grid.levels[level].shape:
+            return False
+        for bc in self.boundary_conditions.get(level, []):
+            if bc.implementation_step == ImplementationStep.COLLISION or getattr(bc, "needs_aux_recovery", False) or getattr(bc, "is_initialized_with_aux_data", False):
+                return False
+        return True
+
+    def _collide_face_slab(self, level, f, bms, mms, omega, axis, pi):
+        """Post-collision populations of ONE parent layer (axis, index pi)
+        -- the only coarse cells the child's ghost explosion reads."""
+        d = self.grid.dim
+        sl = [slice(None)] * (d + 1)
+        sl[axis + 1] = slice(pi, pi + 1)
+        sl = tuple(sl)
+        f_slab = f[sl]
+        f_pc = self._collide(f_slab, omega)
+        bcs = self.boundary_conditions.get(level, [])
+        if bcs:
+            bm_s, mm_s = bms[level][sl], mms[level][sl]
+            for bc in bcs:
+                if bc.implementation_step == ImplementationStep.COLLISION:
+                    f_pc = bc(f_slab, f_pc, bm_s, mm_s)
+            f_pc = jnp.where(bm_s == 255, f_slab, f_pc)
+        return f_pc
+
+    def _explode_faces_lazy(self, level_parent, f, bms, mms, omega, child, ring):
+        """Explosion face slabs computed WITHOUT a full parent collide:
+        collide just the <= 2*d parent layers the ring reads (the fully-
+        refined fast path, where the bulk collide is dead work)."""
+        key = (child, tuple(ring))
+        cache = getattr(self, "_ghost_gather_cache", None)
+        if cache is None:
+            cache = self._ghost_gather_cache = {}
+        if key not in cache:
+            cache[key] = self._build_ghost_gather(child, ring)
+        maps = cache[key]
+        d = self.grid.dim
+        store_dtype = self.precision_policy.store_dtype
+        faces = []
+        for axis in range(d):
+            ext_len = len(maps[axis])
+            for pos in (ring[axis] - 1, ext_len - ring[axis]):
+                pi = int(maps[axis][pos])
+                slab = self._collide_face_slab(level_parent, f, bms, mms, omega, axis, pi)
+                for a in range(d):
+                    if a != axis:
+                        slab = jnp.take(slab, jnp.asarray(maps[a]), axis=a + 1)
+                idx = [0] * (d + 1)
+                idx[axis + 1] = pos
+                faces.append((tuple(idx), slab.astype(store_dtype)))
+        return faces
+
+    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None):
         """Advance ``level`` by one of its own timesteps (recursively running
         2 sub-steps of each finer level).  ``fs`` is the per-level state list
         (current populations).  ``probe``, if given, is called as
         ``probe(level, f_post_stream, f_post_collision)`` after each
-        sub-step (used by step_with_force)."""
+        sub-step (used by step_with_force).  ``ext_state``/``mask_ext``:
+        resident ring-extended finest state (see build_window)."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         f = pp.cast_to_compute(fs[level])
 
-        f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
+        child = level - 1
+        fast_full = (
+            self._fully_refined_fast(level, probe)
+            and child == 0
+            and self._cts is not None
+        )
+        if fast_full:
+            # fully-refined shortcut: every coarse cell is overwritten by
+            # the coalescence, so only the explosion faces need collided
+            # values -- skip the full-grid collide entirely
+            faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._cts_ring)
+            fs, out2 = self._cts_fine_pair(fs, bms, mms, omega_finest, None, ext_state=ext_state, mask_ext=mask_ext, faces=faces)
+            if out2 is not None:
+                f_pc = self._avg_from_out2(out2)
+            else:
+                f_fine = fs[child]
+                if ext_state:
+                    g = self._cts_ring
+                    f_fine = f_fine[(slice(None),) + tuple(slice(gi, -gi) for gi in g)]
+                f_pc = self._coalesce_avg(pp.cast_to_compute(f_fine), child)
+        else:
+            f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
+            f_pc = self._freeze_solids(level, f, f_pc, bms)
 
-        if level > 0:
+        if level > 0 and not fast_full:
             # two fine sub-steps against this level's post-collision state
-            fs = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe)
+            fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext)
             # pull coalesced fine state into the refined region before streaming
-            f_pc = self._coalesce(f_pc, pp.cast_to_compute(fs[level - 1]), level - 1)
+            if out2 is not None:
+                avg = self._avg_from_out2(out2)
+                lvl_c = self.grid.levels[child]
+                slc = (slice(None),) + tuple(
+                    slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent)
+                )
+                f_pc = f_pc.at[slc].set(avg.astype(f_pc.dtype))
+            else:
+                f_fine = fs[child]
+                if child == 0 and ext_state:
+                    g = self._cts_ring
+                    f_fine = f_fine[(slice(None),) + tuple(slice(gi, -gi) for gi in g)]
+                f_pc = self._coalesce(f_pc, pp.cast_to_compute(f_fine), child)
 
         f_ps = stream_pull(f_pc, self.velocity_set._c)
         f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
+        f_ps = self._freeze_solids(level, f, f_ps, bms)
         if probe is not None:
             probe(level, f_ps, f_pc)
         fs = list(fs)
         fs[level] = pp.cast_to_store(f_ps)
         return fs
 
-    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe):
+    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe, ext_state=False, mask_ext=None):
         """Run the two sub-steps of ``level - 1`` against this level's
         post-collision state, through the fused finest path when active
         (the force probe needs the jnp path's intermediate states)."""
         child = level - 1
         if child == 0 and self._cts is not None and probe is None:
-            return self._cts_fine_pair(fs, bms, mms, omega_finest, f_pc)
+            return self._cts_fine_pair(fs, bms, mms, omega_finest, f_pc, ext_state=ext_state, mask_ext=mask_ext)
         ghost_ext = self._explode(f_pc, child)
-        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe)
+        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext), None
 
     def _explode_ring_faces(self, parent_pc, level, ring, store_dtype):
         """Gather only the INNERMOST ghost-ring layer (the only ring cells
         interior pulls ever read) as 6 depth-1 face slabs; returns
         [(dus_index, slab)] ready for dynamic_update_slice into the
-        ring-extended array."""
-        key = (level, ring)
+        ring-extended array.  ``ring`` is a per-axis tuple."""
+        key = (level, tuple(ring))
         cache = getattr(self, "_ghost_gather_cache", None)
         if cache is None:
             cache = self._ghost_gather_cache = {}
@@ -363,7 +574,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         faces = []
         for axis in range(d):
             ext_len = len(maps[axis])
-            for pos in (ring - 1, ext_len - ring):
+            for pos in (ring[axis] - 1, ext_len - ring[axis]):
                 # thin take first so the remaining gathers run on the slab
                 slab = jnp.take(parent_pc, jnp.asarray(maps[axis][pos : pos + 1]), axis=axis + 1)
                 for a in range(d):
@@ -374,41 +585,74 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 faces.append((tuple(idx), slab.astype(store_dtype)))
         return faces
 
-    def _cts_fine_pair(self, fs, bms, mms, omega_finest, parent_pc):
+    _RING_VAL = int(np.int64(30 << 27) - (1 << 32))  # id 30 in bits 27..31 of an int32
+
+    def _fine_mask_ext(self, bms, mms):
+        """Packed int32 mask over the finest level's ring-extended box (ring
+        cells carry packed cell-type 30 = SFV/ghost keep-out)."""
+        from xlb_tpu.kernels.fused_step import pack_masks
+
+        packed = pack_masks(bms[0], mms[0])
+        return jnp.pad(packed, tuple((gi, gi) for gi in self._cts_ring), constant_values=self._RING_VAL)
+
+    def _cts_fine_pair(self, fs, bms, mms, omega_finest, parent_pc, ext_state=False, mask_ext=None, faces=None):
         """Both finest-level sub-steps of a coarse step through ONE pass of
         the fused collide-then-stream pair kernel: the ring-extended state
         carries parent ghosts (mask ring = cell-type 254 -> the kernel's
         keep-out), shared by both sub-steps (zeroth-order-in-time coupling,
-        as in the jnp tier).  Only the innermost ring layer is gathered."""
-        from xlb_tpu.kernels.fused_step import pack_masks
+        as in the jnp tier).  Only the innermost ring layer is gathered.
 
+        With ``ext_state=True`` (the resident-window path, build_window)
+        ``fs[0]`` already IS the ring-extended array and stays extended on
+        return -- no per-step pad/crop round trip."""
         pp = self.precision_policy
         g = self._cts_ring
         omega = pp.compute_dtype(compute_omega(omega_finest, 0))
-        ring_val = int(np.int64(30 << 27) - (1 << 32))  # id 30 in bits 27..31 of an int32
-        packed = pack_masks(bms[0], mms[0])
-        mask_ext = jnp.pad(packed, g, constant_values=ring_val)
-        pad_width = ((0, 0),) + ((g, g),) * self.grid.dim
-        interior = (slice(None),) + (slice(g, -g),) * self.grid.dim
-        ext = jnp.pad(fs[0], pad_width)
-        for idx, slab in self._explode_ring_faces(parent_pc, 0, g, pp.store_dtype):
+        if mask_ext is None:
+            mask_ext = self._fine_mask_ext(bms, mms)
+        if ext_state:
+            ext = fs[0]
+        else:
+            ext = jnp.pad(fs[0], ((0, 0),) + tuple((gi, gi) for gi in g))
+        if faces is None:
+            faces = self._explode_ring_faces(parent_pc, 0, g, pp.store_dtype)
+        for idx, slab in faces:
             ext = jax.lax.dynamic_update_slice(ext, slab, idx)
-        ext = self._cts(ext, mask_ext, omega)
+        out = self._cts(ext, mask_ext, omega)
+        ext, out2 = out if getattr(self, "_cts_has_coalesce", False) else (out, None)
         fs = list(fs)
-        fs[0] = ext[interior]
-        return fs
+        if ext_state:
+            fs[0] = ext
+        else:
+            interior = (slice(None),) + tuple(slice(gi, -gi) for gi in g)
+            fs[0] = ext[interior]
+        return fs, out2
 
-    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None):
+    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None):
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         for _ in range(2):
             f = pp.cast_to_compute(fs[level])
             f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
+            f_pc = self._freeze_solids(level, f, f_pc, bms)
             if level > 0:
-                fs = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe)
-                f_pc = self._coalesce(f_pc, pp.cast_to_compute(fs[level - 1]), level - 1)
+                fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext)
+                if out2 is not None:
+                    avg = self._avg_from_out2(out2)
+                    lvl_c = self.grid.levels[level - 1]
+                    slc = (slice(None),) + tuple(
+                        slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent)
+                    )
+                    f_pc = f_pc.at[slc].set(avg.astype(f_pc.dtype))
+                else:
+                    f_fine = fs[level - 1]
+                    if level - 1 == 0 and ext_state:
+                        g = self._cts_ring
+                        f_fine = f_fine[(slice(None),) + tuple(slice(gi, -gi) for gi in g)]
+                    f_pc = self._coalesce(f_pc, pp.cast_to_compute(f_fine), level - 1)
             f_ps = self._stream_with_ghosts(f_pc, ghost_ext, level)
             f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
+            f_ps = self._freeze_solids(level, f, f_ps, bms)
             if probe is not None:
                 probe(level, f_ps, f_pc)
             fs = list(fs)
@@ -419,6 +663,48 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         """One coarsest-level timestep (= 2^(L-1) finest steps).  Returns the
         updated per-level population list."""
         return self._advance(self.grid.num_levels - 1, list(fs), bms, mms, omega_finest)
+
+    def build_window(self, num_coarse_steps, donate=True):
+        """A jitted ``num_coarse_steps``-coarse-step advance -- ONE dispatch.
+
+        When the fused finest pair is active, the finest level's state stays
+        ring-EXTENDED across the whole window: the per-step pad -> kernel ->
+        crop round trip of ``__call__`` (two full HBM copies of the largest
+        array per coarse step) reduces to one pad before and one crop after
+        the window, and the packed ext mask is built once.  Signature:
+        ``run(fs, bms, mms, omega_finest) -> fs``."""
+        L = self.grid.num_levels
+        donate_argnums = (0,) if donate else ()
+
+        if self._cts is None or L < 2:
+
+            def run_plain(fs, bms, mms, omega_finest):
+                return jax.lax.fori_loop(
+                    0,
+                    num_coarse_steps,
+                    lambda i, s: self._advance(L - 1, list(s), bms, mms, omega_finest),
+                    list(fs),
+                )
+
+            return jax.jit(run_plain, donate_argnums=donate_argnums)
+
+        g = self._cts_ring
+        pad_w = ((0, 0),) + tuple((gi, gi) for gi in g)
+        interior = (slice(None),) + tuple(slice(gi, -gi) for gi in g)
+
+        def run_ext(fs, bms, mms, omega_finest):
+            mask_ext = self._fine_mask_ext(bms, mms)
+            state = [jnp.pad(fs[0], pad_w)] + list(fs[1:])
+
+            def body(i, s):
+                return self._advance(
+                    L - 1, list(s), bms, mms, omega_finest, ext_state=True, mask_ext=mask_ext
+                )
+
+            state = jax.lax.fori_loop(0, num_coarse_steps, body, state)
+            return [state[0][interior]] + list(state[1:])
+
+        return jax.jit(run_ext, donate_argnums=donate_argnums)
 
     def step_with_force(self, fs, bms, mms, omega_finest, momentum_transfer):
         """One coarsest-level timestep that also integrates the momentum-
