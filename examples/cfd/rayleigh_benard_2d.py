@@ -29,7 +29,8 @@ from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC
 from xlb_tpu.ops import Macroscopic
 
 
-def run(nx=128, ny=64, rayleigh=5e4, prandtl=0.71, num_steps=4000, window=500, beta=5e-4, backend="jax"):
+def run(nx=128, ny=64, rayleigh=5e4, prandtl=0.71, num_steps=4000, window=500, beta=5e-4,
+        backend="jax", obstacle=False):
     xlb.init(velocity_set=D2Q9(), default_backend=xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, ny))
@@ -45,12 +46,24 @@ def run(nx=128, ny=64, rayleigh=5e4, prandtl=0.71, num_steps=4000, window=500, b
 
     be = xlb.ComputeBackend.PALLAS if backend == "pallas" else None
     walls = np.unique(np.concatenate([np.asarray(box[k]) for k in ("bottom", "top")], axis=1), axis=1)
-    nse = IncompressibleNavierStokesStepper(grid, boundary_conditions=[HalfwayBounceBackBC(indices=walls.tolist())],
-                                            compute_backend=be)
-    ade = AdvectionDiffusionStepper(grid, boundary_conditions=[
+    nse_bcs = [HalfwayBounceBackBC(indices=walls.tolist())]
+    ade_bcs = [
         EquilibriumBC(rho=1.0, u=(0.0, 0.0), indices=box["bottom"]),  # hot floor
         EquilibriumBC(rho=0.0, u=(0.0, 0.0), indices=box["top"]),     # cold ceiling
-    ], compute_backend=be)
+    ]
+    if obstacle:
+        # curved adiabatic cylinder in the cavity center: no-slip for the
+        # flow, pure reflection (zero flux) for the scalar -- exercises the
+        # fused thermal path with curved geometry (buoyancy + spatial BCs
+        # compose in-kernel; kernels/fused_step.build_fused_forced_step)
+        r = ny / 8
+        ii, jj = np.meshgrid(np.arange(nx), np.arange(ny), indexing="ij")
+        circ = (ii - nx / 2) ** 2 + (jj - ny / 2) ** 2 <= r**2
+        circ_idx = np.stack(np.nonzero(circ))
+        nse_bcs.append(HalfwayBounceBackBC(indices=circ_idx.tolist()))
+        ade_bcs.append(HalfwayBounceBackBC(indices=circ_idx.tolist()))
+    nse = IncompressibleNavierStokesStepper(grid, boundary_conditions=nse_bcs, compute_backend=be)
+    ade = AdvectionDiffusionStepper(grid, boundary_conditions=ade_bcs, compute_backend=be)
     thermal = ThermalNSEStepper(nse, ade, beta=beta, gravity=(0.0, -g_mag))
 
     f0, f1, bcf, mf = nse.prepare_fields()
@@ -84,5 +97,7 @@ if __name__ == "__main__":
     p.add_argument("--ra", type=float, default=5e4)
     p.add_argument("--steps", type=int, default=4000)
     p.add_argument("--backend", choices=["jax", "pallas"], default="jax")
+    p.add_argument("--obstacle", action="store_true",
+                   help="adiabatic cylinder in the cavity (curved geometry on the fused thermal path)")
     a = p.parse_args()
-    run(nx=a.nx, ny=a.ny, rayleigh=a.ra, num_steps=a.steps, backend=a.backend)
+    run(nx=a.nx, ny=a.ny, rayleigh=a.ra, num_steps=a.steps, backend=a.backend, obstacle=a.obstacle)

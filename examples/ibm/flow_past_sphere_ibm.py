@@ -25,8 +25,9 @@ from xlb_tpu.ops import Macroscopic
 from xlb_tpu.utils import omega_from_reynolds, save_usd_points
 
 
-def run(nx=64, nyz=32, re=100.0, u_in=0.03, num_steps=200, usd=None):
-    xlb.init(velocity_set=D3Q19(), default_backend=xlb.ComputeBackend.JAX,
+def run(nx=64, nyz=32, re=100.0, u_in=0.03, num_steps=200, usd=None, backend="jax"):
+    xlb.init(velocity_set=D3Q19(),
+             default_backend=xlb.ComputeBackend.PALLAS if backend == "pallas" else xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, nyz, nyz))
     vs = xlb.DefaultConfig.velocity_set
@@ -84,5 +85,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--usd", type=str, default=None)
+    p.add_argument("--backend", choices=["jax", "pallas"], default="jax",
+                   help="pallas routes the NSE part of each IBM step through the fused kernel")
     args = p.parse_args()
-    run(num_steps=args.steps, usd=args.usd)
+    run(num_steps=args.steps, usd=args.usd, backend=args.backend)

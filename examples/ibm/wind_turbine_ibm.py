@@ -30,8 +30,10 @@ from xlb_tpu.ops import Macroscopic
 from xlb_tpu.utils import omega_from_reynolds
 
 
-def run(nx=96, nyz=48, re=500.0, u_in=0.04, tip_speed_ratio=3.0, num_steps=300, window=50):
-    xlb.init(velocity_set=D3Q19(), default_backend=xlb.ComputeBackend.JAX,
+def run(nx=96, nyz=48, re=500.0, u_in=0.04, tip_speed_ratio=3.0, num_steps=300, window=50,
+        backend="jax"):
+    xlb.init(velocity_set=D3Q19(),
+             default_backend=xlb.ComputeBackend.PALLAS if backend == "pallas" else xlb.ComputeBackend.JAX,
              default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
     grid = grid_factory((nx, nyz, nyz))
     vs = xlb.DefaultConfig.velocity_set
@@ -98,5 +100,7 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=300)
     p.add_argument("--tsr", type=float, default=3.0)
+    p.add_argument("--backend", choices=["jax", "pallas"], default="jax",
+                   help="pallas routes the NSE part of each IBM step through the fused kernel")
     args = p.parse_args()
-    run(num_steps=args.steps, tip_speed_ratio=args.tsr)
+    run(num_steps=args.steps, tip_speed_ratio=args.tsr, backend=args.backend)

@@ -244,3 +244,41 @@ def test_fused_thermal_matches_jnp_tier():
 
     assert float(jnp.abs(ra[0] - rb[0]).max()) < 5e-6  # populations f
     assert float(jnp.abs(ra[2] - rb[2]).max()) < 5e-6  # scalar g
+
+
+def test_fused_ade_zouhe_dirichlet_and_curved_obstacle():
+    """Fused ADE with a ZouHe 'pressure' wall (Dirichlet on the transported
+    scalar: the rho closure IS phi) plus a curved halfway-bounce-back
+    obstacle matches the jnp tier (VERDICT r2 #8: fused-ADE BC-kind limits
+    lifted one notch)."""
+    import xlb_tpu as xlb
+    from xlb_tpu.boundary import ZouHeBC
+
+    vs = init_env(D2Q9)
+    n = 32
+    grid = _grid(n)
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    # voxelized circle obstacle (adiabatic: pure reflection conserves phi)
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
+    circ = (xx - n / 2) ** 2 + (yy - n / 2) ** 2 <= 5.0**2
+    circ_idx = np.stack(np.nonzero(circ))
+    bcs = lambda: [
+        ZouHeBC("pressure", prescribed_value=1.5, indices=box_ne["left"]),
+        HalfwayBounceBackBC(indices=circ_idx.tolist()),
+    ]
+    ref = AdvectionDiffusionStepper(grid, boundary_conditions=bcs())
+    g0, g1, bm, mm = ref.prepare_fields(phi_init=_gaussian_phi(n, 4.0))
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(0.02 * rng.standard_normal((2, n, n)).astype(np.float32))
+
+    boundary_condition_registry.reset()
+    fused = AdvectionDiffusionStepper(grid, boundary_conditions=bcs(), compute_backend=xlb.ComputeBackend.PALLAS)
+    assert fused._pallas_step is not None
+    fa, fb = g0, g1
+    ga, gb = g0, g1
+    for t in range(3):
+        fa, fb = ref(fa, fb, bm, mm, 1.3, u, t)
+        fa, fb = fb, fa
+        ga, gb = fused(ga, gb, bm, mm, 1.3, u, t)
+        ga, gb = gb, ga
+    assert float(jnp.abs(fa - ga).max()) < 5e-6

@@ -125,7 +125,11 @@ def _build_kernel_body(
     """
     if ade:
         assert collision == "BGK", "fused ADE supports BGK relaxation only"
-        allowed = {"equilibrium", "do_nothing", "halfway", "fullway"}
+        # zouhe/regularized with a CONSTANT prescribed value give Dirichlet
+        # scalar walls (rho closure = the transported scalar): the jnp ADE
+        # tier applies the same NSE BC operators on g (models/ade.py:117-120),
+        # so the NSE epilogue closures match bit-for-bit
+        allowed = {"equilibrium", "do_nothing", "halfway", "fullway", "zouhe", "regularized"}
         bad = [s["kind"] for s in bc_specs if s["kind"] not in allowed]
         if bad:
             raise NotImplementedError(f"fused ADE supports BC kinds {sorted(allowed)}; got {bad}")

@@ -126,6 +126,12 @@ class AdvectionDiffusionStepper(Stepper):
             if bc.implementation_step == ImplementationStep.COLLISION:
                 g_post = bc(g_post_stream, g_post, bc_mask, missing_mask)
 
+        # solid early-out: 255-tagged voxels (deep interior of a curved
+        # obstacle) neither stream nor relax -- matches the NSE jnp tier
+        # and the fused kernels' keep-out
+        if self.boundary_conditions:
+            g_post = jnp.where(bc_mask == 255, g_0c, g_post)
+
         return g_0, pp.cast_to_store(g_post)
 
 
