@@ -14,6 +14,8 @@ from xlb_tpu.geometry import (
     winding_number,
 )
 
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
+
 
 def test_stl_roundtrip(tmp_path):
     tris = sphere_triangles(center=(4, 4, 4), radius=3, subdivisions=1)

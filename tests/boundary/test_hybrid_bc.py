@@ -14,6 +14,8 @@ from xlb_tpu.geometry import sphere_triangles
 from xlb_tpu.geometry.distances import directional_wall_distances, ray_triangle_hits
 from xlb_tpu.ops import Macroscopic
 
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
+
 
 def test_ray_triangle_hits_analytic():
     # unit triangle in the z=2 plane; ray along +z from origin hits at t=2

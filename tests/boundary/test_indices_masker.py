@@ -9,6 +9,9 @@ from xlb_tpu.velocity_set import D2Q9, D3Q19
 from xlb_tpu.grid import grid_factory
 from xlb_tpu.helper import create_nse_fields
 from xlb_tpu.boundary import FullwayBounceBackBC, HalfwayBounceBackBC, IndicesBoundaryMasker
+import pytest
+
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
 
 
 def test_domain_boundary_masker_2d():

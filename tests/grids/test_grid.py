@@ -11,6 +11,8 @@ from xlb_tpu.velocity_set import D2Q9, D3Q19
 from xlb_tpu.grid import grid_factory
 from xlb_tpu.precision_policy import Precision
 
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
+
 
 def test_device_count_emulated():
     assert jax.device_count() == 8

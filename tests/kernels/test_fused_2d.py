@@ -1,6 +1,7 @@
 """2D fused Pallas kernel parity vs the jnp oracle."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC
 from xlb_tpu.kernels.fused_step import build_fused_step
 
 
+@pytest.mark.fast
 def test_fused_2d_matches_reference_step():
     vs = init_env(D2Q9)
     n = 32
@@ -56,7 +58,6 @@ def test_fused_2d_kbc_matches_reference_step():
     assert float(jnp.abs(fa - ga).max()) < 5e-6
 
 
-import pytest
 
 
 @pytest.mark.parametrize("steps", [2, 4, 8])

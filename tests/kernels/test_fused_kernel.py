@@ -49,6 +49,7 @@ def test_fused_matches_reference_step(collision, kernel):
     assert diff < 5e-6, f"{collision}: fused kernel diverges from jnp tier by {diff}"
 
 
+@pytest.mark.fast
 def test_fused_halfway_and_do_nothing():
     vs = init_env(D3Q19)
     stepper = _cavity(D3Q19, halfway=True)
@@ -141,6 +142,7 @@ def test_fused_spatial_moving_wall_matches_reference_step():
     assert float(jnp.abs(u[1]).max()) > 1e-4
 
 
+@pytest.mark.fast
 def test_pack_masks_roundtrip():
     vs = init_env(D3Q19)
     rng = np.random.default_rng(0)
@@ -158,6 +160,7 @@ def test_pack_masks_roundtrip():
     np.testing.assert_array_equal(unpacked, miss)
 
 
+@pytest.mark.fast
 def test_fused_rejects_unsupported_bc():
     """A BC class the kernel has no epilogue for raises an actionable
     NotImplementedError from the spec converter."""

@@ -12,6 +12,8 @@ import pytest
 from tests.conftest import init_env
 from xlb_tpu.velocity_set import D2Q9, D3Q19, D3Q27
 
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
+
 
 ALL_SETS = [D2Q9, D3Q19, D3Q27]
 

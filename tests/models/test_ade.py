@@ -18,6 +18,7 @@ from xlb_tpu.models import (
 )
 from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC
 from xlb_tpu.boundary.registry import boundary_condition_registry
+import pytest
 
 
 def _grid(n):
@@ -44,6 +45,7 @@ def _run(stepper, g0, g1, bm, mm, omega_phi, u, steps):
     return a
 
 
+@pytest.mark.fast
 def test_omega_diffusivity_roundtrip():
     for D in (0.02, 0.1, 1.0 / 6.0):
         assert abs(diffusivity_from_omega(omega_from_diffusivity(D)) - D) < 1e-12
@@ -152,6 +154,7 @@ def test_boussinesq_hot_blob_rises():
     assert com_y > n / 2 - 0.05
 
 
+@pytest.mark.fast
 def test_fused_ade_matches_jnp_tier():
     """The PALLAS-tier ADE step (interpret on CPU) matches the jnp tier to
     f32 roundoff, with a spatially varying advecting velocity and Dirichlet

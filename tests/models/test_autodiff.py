@@ -16,6 +16,7 @@ from xlb_tpu.grid import grid_factory
 from xlb_tpu.models import IncompressibleNavierStokesStepper
 from xlb_tpu.ops import Macroscopic
 from xlb_tpu.ops.equilibrium import quadratic_equilibrium
+import pytest
 
 
 def _loss_after_steps(stepper, bc_mask, missing_mask, n_steps, target_u):
@@ -68,6 +69,7 @@ def test_gradient_through_steps_matches_finite_difference():
     np.testing.assert_allclose(float(g_u[0, 5, 7]), float(fd_u), rtol=5e-2, atol=1e-9)
 
 
+@pytest.mark.fast
 def test_gradient_with_boundary_conditions():
     """Gradients flow through masked BC selects too."""
     from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC

@@ -9,6 +9,8 @@ from xlb_tpu.grid import grid_factory
 from xlb_tpu.models import IncompressibleNavierStokesStepper
 from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC
 
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
+
 
 def _cavity(n=16):
     grid = grid_factory((n, n))

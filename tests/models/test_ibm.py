@@ -14,6 +14,7 @@ from xlb_tpu.geometry import sphere_triangles
 from xlb_tpu.ops import Macroscopic
 
 
+@pytest.mark.fast
 def test_peskin_weight_properties():
     # unit integral (partition of unity on the integer lattice)
     r = np.arange(-3, 4, dtype=np.float64)
@@ -23,6 +24,7 @@ def test_peskin_weight_properties():
     assert float(peskin_weight(jnp.asarray(2.5))) == 0.0
 
 
+@pytest.mark.fast
 def test_interpolate_linear_field_exact():
     """Peskin interpolation of a constant field is exact."""
     vs = init_env(D3Q19)
@@ -33,6 +35,7 @@ def test_interpolate_linear_field_exact():
     np.testing.assert_allclose(out, 0.37, rtol=1e-5)
 
 
+@pytest.mark.fast
 def test_spread_conserves_total():
     """sum_i spread_num[i] = sum_k A_k F_k (delta has unit integral)."""
     vs = init_env(D3Q19)
@@ -82,6 +85,7 @@ def test_ibm_enforces_no_slip_on_sphere():
     assert np.asarray(u)[0, 2, 2, 2] > 0.02
 
 
+@pytest.mark.fast
 def test_marker_stencil_does_not_wrap():
     """A marker near the domain edge must not couple to the opposite face
     (the old periodic-wrap hazard, models/ibm.py)."""

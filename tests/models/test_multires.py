@@ -17,6 +17,9 @@ from xlb_tpu.helper.simulation_manager import MultiresSimulationManager
 from xlb_tpu.models.multires import compute_omega
 from xlb_tpu.ops import Macroscopic
 from xlb_tpu.ops.equilibrium import quadratic_equilibrium
+import pytest
+
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
 
 
 def test_compute_omega_matches_reference_formula():

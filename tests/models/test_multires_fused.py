@@ -36,7 +36,7 @@ def _scene(collision="BGK"):
 
 
 @pytest.mark.parametrize("strategy", [MresPerfOptimizationType.FUSION_AT_FINEST, MresPerfOptimizationType.FUSION_AT_FINEST_SFV_ALL])
-@pytest.mark.parametrize("collision", ["BGK", "KBC"])
+@pytest.mark.parametrize("collision", [pytest.param("BGK", marks=pytest.mark.fast), "KBC"])
 def test_fused_multires_matches_naive(strategy, collision):
     from xlb_tpu.velocity_set import D3Q27
     from xlb_tpu.boundary.registry import boundary_condition_registry

@@ -30,6 +30,7 @@ def _build_cavity(grid_shape=(32, 32), u_lid=0.05):
     return grid, stepper
 
 
+@pytest.mark.fast
 def test_periodic_step_conserves_mass_momentum():
     """With no BCs (fully periodic), one BGK step conserves rho and momentum."""
     vs = init_env(D3Q19)
@@ -110,6 +111,7 @@ def test_taylor_green_vortex_decay_2d():
     assert abs(ke / expected - 1.0) < 0.03, f"KE decay {ke:.4e} vs analytic {expected:.4e}"
 
 
+@pytest.mark.fast
 def test_jitted_multi_step_matches_python_loop():
     vs = init_env(D2Q9)
     grid, stepper = _build_cavity((16, 16))

@@ -17,6 +17,9 @@ from xlb_tpu.models import IncompressibleNavierStokesStepper
 from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC
 from xlb_tpu.ops.stream import Stream
 from xlb_tpu.parallel import distribute, distribute_operator
+import pytest
+
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
 
 
 def _single_device_reference(vs, n_steps=5, shape=(32, 32)):

@@ -42,6 +42,7 @@ def _fresh_stepper(shape, mesh_shape=None, devices=None, precision="FP32FP32"):
     return stepper, stepper.prepare_fields()
 
 
+@pytest.mark.fast
 def test_distributed_fused_step_matches_oracle():
     shape = (32, 16, 16)
     st1, (f0, f1, bm, mm) = _fresh_stepper(shape, mesh_shape=(1, 1, 1), devices=jax.devices()[:1])

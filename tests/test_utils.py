@@ -17,6 +17,8 @@ from xlb_tpu.utils import (
     mlups,
 )
 
+pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
+
 
 def test_write_vti_structure(tmp_path):
     rho = np.random.default_rng(0).random((1, 8, 6, 4)).astype(np.float32)
