@@ -18,7 +18,7 @@ import xlb_tpu as xlb
 from xlb_tpu.velocity_set import D3Q19
 from xlb_tpu.grid import grid_factory
 from xlb_tpu.models.ibm import IBMStepper
-from xlb_tpu.helper.ibm_helper import prepare_immersed_boundary
+from xlb_tpu.helper.ibm_helper import prepare_immersed_boundary, marker_window
 from xlb_tpu.helper.initializers import initialize_from_macroscopic
 from xlb_tpu.geometry import naca_airfoil_triangles
 from xlb_tpu.ops import Macroscopic
@@ -40,7 +40,7 @@ def run(nx=96, ny=32, nz=48, re=500.0, u_in=0.04, aoa_deg=10.0, num_steps=300, n
     vertices, areas, velocities = prepare_immersed_boundary(tris, max_lagrangian_spacing=0.8)
     print(f"NACA{naca} @ {aoa_deg} deg: {len(vertices)} markers, chord {chord:.0f}, span {span:.0f}")
 
-    stepper = IBMStepper(grid, ibm_max_iterations=4)
+    stepper = IBMStepper(grid, ibm_max_iterations=4, ibm_window=marker_window(vertices))
     f_0, f_1, bc_mask, missing_mask = stepper.prepare_fields()
     u0 = np.zeros((3, nx, ny, nz), dtype=np.float32)
     u0[0] = u_in

@@ -18,7 +18,7 @@ import xlb_tpu as xlb
 from xlb_tpu.velocity_set import D3Q19
 from xlb_tpu.grid import grid_factory
 from xlb_tpu.models.ibm import IBMStepper, interpolate_from_grid
-from xlb_tpu.helper.ibm_helper import prepare_immersed_boundary
+from xlb_tpu.helper.ibm_helper import prepare_immersed_boundary, marker_window
 from xlb_tpu.helper.initializers import initialize_from_macroscopic
 from xlb_tpu.geometry import sphere_triangles
 from xlb_tpu.ops import Macroscopic
@@ -38,7 +38,7 @@ def run(nx=64, nyz=32, re=100.0, u_in=0.03, num_steps=200, usd=None, backend="ja
     print(f"{len(vertices)} Lagrangian markers, total area {areas.sum():.1f} "
           f"(sphere area {4 * np.pi * radius**2:.1f})")
 
-    stepper = IBMStepper(grid, ibm_max_iterations=4)
+    stepper = IBMStepper(grid, ibm_max_iterations=4, ibm_window=marker_window(vertices))
     f_0, f_1, bc_mask, missing_mask = stepper.prepare_fields()
 
     u0 = np.zeros((3, nx, nyz, nyz), dtype=np.float32)

@@ -45,7 +45,9 @@ def run(nx=96, nyz=48, re=500.0, u_in=0.04, tip_speed_ratio=3.0, num_steps=300, 
     rot_speed = tip_speed_ratio * u_in / radius  # rad per step
     print(f"turbine: {len(vertices)} markers, R={radius:.0f}, rotor speed {rot_speed:.4f} rad/step")
 
-    stepper = IBMStepper(grid, ibm_max_iterations=4)
+    # window = the rotor's SWEPT volume: thin in x, the full disc in y/z
+    rotor_w = int(2 * radius) + 12
+    stepper = IBMStepper(grid, ibm_max_iterations=4, ibm_window=(16, rotor_w, rotor_w))
     f_0, f_1, bc_mask, missing_mask = stepper.prepare_fields()
     u0 = np.zeros((3, nx, nyz, nyz), dtype=np.float32)
     u0[0] = u_in

@@ -19,7 +19,7 @@ import xlb_tpu as xlb
 from xlb_tpu.velocity_set import D3Q19
 from xlb_tpu.grid import grid_factory
 from xlb_tpu.models.ibm import IBMStepper
-from xlb_tpu.helper.ibm_helper import prepare_immersed_boundary
+from xlb_tpu.helper.ibm_helper import prepare_immersed_boundary, marker_window
 from xlb_tpu.helper.initializers import initialize_from_macroscopic
 from xlb_tpu.geometry import load_stl, sphere_triangles, transform_mesh
 from xlb_tpu.boundary import EquilibriumBC, ExtrapolationOutflowBC, FullwayBounceBackBC
@@ -53,7 +53,8 @@ def run(nx=96, nyz=48, re=200.0, u_in=0.04, num_steps=300, stl=None):
         EquilibriumBC(rho=1.0, u=(u_in, 0.0, 0.0), indices=box_ne["left"]),
         ExtrapolationOutflowBC(indices=box_ne["right"]),
     ]
-    stepper = IBMStepper(grid, boundary_conditions=bcs, ibm_max_iterations=4)
+    stepper = IBMStepper(grid, boundary_conditions=bcs, ibm_max_iterations=4,
+                         ibm_window=marker_window(vertices))
     f_0, f_1, bc_mask, missing_mask = stepper.prepare_fields()
     u0 = np.zeros((3, nx, nyz, nyz), dtype=np.float32)
     u0[0] = u_in

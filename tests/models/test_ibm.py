@@ -138,3 +138,77 @@ def test_ibm_pallas_backend_matches_jax():
     f_pl, forces_pl = run(__import__("xlb_tpu").ComputeBackend.PALLAS)
     np.testing.assert_allclose(f_pl, f_jax, rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(forces_pl, forces_jax, rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.fast
+def test_factored_transfer_matches_scatter_oracle():
+    """The MXU-factored Peskin spread/interpolation matches the scatter/
+    gather oracle to f32 roundoff (same phi values, different summation
+    order)."""
+    from xlb_tpu.models.ibm import (
+        _spread_to_grid_scatter,
+        _interpolate_from_grid_gather,
+        spread_to_grid,
+        interpolate_from_grid,
+        spread_to_grid_window,
+    )
+
+    init_env(D3Q19)
+    shape = (24, 16, 16)
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(np.array([4.0, 4.0, 4.0]) + 10.0 * rng.random((37, 3)).astype(np.float32))
+    vals = jnp.asarray(rng.standard_normal((37, 3)).astype(np.float32))
+    areas = jnp.asarray(rng.random(37).astype(np.float32))
+
+    num_d, den_d = spread_to_grid(vals, pts, areas, shape)
+    num_s, den_s = _spread_to_grid_scatter(vals, pts, areas, shape)
+    np.testing.assert_allclose(np.asarray(num_d), np.asarray(num_s), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(den_d), np.asarray(den_s), rtol=1e-4, atol=1e-6)
+
+    field = jnp.asarray(rng.standard_normal((int(np.prod(shape)), 3)).astype(np.float32))
+    out_d = interpolate_from_grid(field, pts, shape)
+    out_g = _interpolate_from_grid_gather(field, pts, shape)
+    np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_g), rtol=1e-4, atol=1e-5)
+
+    # a tight window with a nonzero offset reproduces the full-domain
+    # spread inside the window
+    num_w, den_w = spread_to_grid_window(vals, pts, areas, (16, 14, 14), offset=(2, 2, 2))
+    full = np.asarray(num_s).reshape(shape + (3,))
+    np.testing.assert_allclose(np.asarray(num_w), full[2:18, 2:16, 2:16], rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.fast
+def test_ibm_windowed_matches_full_domain():
+    """ibm_window restricts the transfer to the marker AABB; the dense windowed
+    transfer matches the full-domain scatter oracle (cross-validates both
+    implementations inside the full stepper)."""
+    import xlb_tpu as xlb
+    from xlb_tpu.default_config import DefaultConfig
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+    from xlb_tpu.helper.initializers import initialize_from_macroscopic
+
+    n = 24
+    tris = sphere_triangles(center=(n / 2, n / 2, n / 2), radius=4.0, subdivisions=1)
+    vertices, areas, velocities = prepare_immersed_boundary(tris, max_lagrangian_spacing=0.9)
+    v, a, uw = jnp.asarray(vertices), jnp.asarray(areas), jnp.asarray(velocities)
+
+    def run(window):
+        DefaultConfig.reset()
+        boundary_condition_registry.reset()
+        vs = init_env(D3Q19)
+        grid = grid_factory((n, n, n))
+        st = IBMStepper(grid, ibm_max_iterations=2, ibm_window=window,
+                        ibm_transfer="dense" if window else "scatter")
+        f_0, f_1, bc_mask, missing_mask = st.prepare_fields()
+        u0 = np.zeros((3, n, n, n), dtype=np.float32)
+        u0[0] = 0.03
+        f_0 = initialize_from_macroscopic(grid, vs, st.precision_policy, np.ones((1, n, n, n), np.float32), u0)
+        for t in range(2):
+            f_0, f_1, forces = st(f_0, f_1, v, a, uw, bc_mask, missing_mask, 1.2, t)
+            f_0, f_1 = f_1, f_0
+        return np.asarray(f_0), np.asarray(forces)
+
+    f_full, forces_full = run(None)
+    f_win, forces_win = run((16, 16, 16))
+    np.testing.assert_allclose(f_win, f_full, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(forces_win, forces_full, rtol=1e-4, atol=1e-6)
