@@ -65,6 +65,7 @@ def build_fused_adjoint_3d(
     has_solids=True,
     force_vector=None,
     shifted=False,
+    logical_z=None,
 ):
     """Build the fused backward: (f_primal, g, mask_i32, omega[, aux]) ->
     (df (q,X,Y,Z), dom_field (X,Y,Z)); sum dom_field for the scalar
@@ -92,6 +93,7 @@ def build_fused_adjoint_3d(
     body = _build_kernel_body(
         velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY,
         shifted=shifted, has_solids=has_solids, force_vector=force_vector,
+        logical_z=logical_z,
     )
     use_aux = body.use_aux
     nchan = body.aux_nchan if use_aux else 0
@@ -218,7 +220,7 @@ def build_fused_adjoint_3d(
         fs_ext = []
         for l in range(q):
             cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
-            fs_ext.append(_roll_lane(read_f(l, 1 - cx, 1 - cy), cz))
+            fs_ext.append(_roll_lane(read_f(l, 1 - cx, 1 - cy), cz, logical=logical_z))
         fp_ext = tuple(fbuf[slot, l, 1 : 1 + TXe, 7 : 7 + TYe, :].astype(cdt) for l in range(q)) if need_fp else ()
         g_ext = tuple(gbuf[slot, l, 0:TXe, 7 : 7 + TYe, :].astype(cdt) for l in range(q))
         mask_ext = mbuf[slot, 0:TXe, 7 : 7 + TYe, :]
@@ -257,7 +259,7 @@ def build_fused_adjoint_3d(
         # jnp-tier VJP fallback (advisor finding, round 2)
         for m in range(q):
             cx, cy, cz = int(c[0, m]), int(c[1, m]), int(c[2, m])
-            dm = _roll_lane(hfs[m, 1 + cx : 1 + cx + TX, 1 + cy : 1 + cy + TY, :], -cz)
+            dm = _roll_lane(hfs[m, 1 + cx : 1 + cx + TX, 1 + cy : 1 + cy + TY, :], -cz, logical=logical_z)
             if need_fp:
                 dm = dm + hfp[m, 1 : 1 + TX, 1 : 1 + TY, :]
             df_out[m] = dm.astype(compute_dtype)

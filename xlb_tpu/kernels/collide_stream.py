@@ -58,15 +58,36 @@ def kernel_bc_id(bc_id):
     return bc_id
 
 
-def _roll_lane(x, shift):
-    """Periodic roll along the last (lane) axis; shift in {-1, 0, 1}."""
+def _roll_lane(x, shift, logical=None):
+    """Periodic roll along the last (lane) axis; |shift| small.
+
+    ``logical``: wrap at this LOGICAL extent instead of the physical lane
+    extent -- used when the z axis is internally padded to a 128-multiple
+    lane extent (the pad columns hold solid keep-out cells).  The naive
+    roll over the padded extent is wrong only in the |shift|-wide seam
+    band, which a second roll (offset by the pad width) plus an iota
+    select repairs; pad columns then only ever feed pad outputs, so the
+    padded kernel matches the unpadded jnp tier bit-for-bit on the
+    logical domain, periodic z included."""
     if shift == 0:
         return x
-    # pltpu.roll requires a non-negative shift; Mosaic only rotates 32-bit
-    # data, so sub-32-bit compute dtypes round-trip through f32
-    if x.dtype.itemsize < 4:
-        return pltpu.roll(x.astype(jnp.float32), shift % x.shape[-1], axis=x.ndim - 1).astype(x.dtype)
-    return pltpu.roll(x, shift % x.shape[-1], axis=x.ndim - 1)
+
+    def roll(v, s):
+        # pltpu.roll requires a non-negative shift; Mosaic only rotates
+        # 32-bit data, so sub-32-bit compute dtypes round-trip through f32
+        if v.dtype.itemsize < 4:
+            return pltpu.roll(v.astype(jnp.float32), s % v.shape[-1], axis=v.ndim - 1).astype(v.dtype)
+        return pltpu.roll(v, s % v.shape[-1], axis=v.ndim - 1)
+
+    phys = x.shape[-1]
+    if logical is None or logical == phys:
+        return roll(x, shift)
+    pad = phys - logical
+    naive = roll(x, shift)
+    seam_fix = roll(x, shift + (pad if shift > 0 else -pad))
+    iota = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    in_seam = (iota < shift) if shift > 0 else (iota >= logical + shift)
+    return jnp.where(in_seam, seam_fix, naive)
 
 
 def spec_uses_aux(spec):
@@ -108,7 +129,7 @@ def aux_layout(bc_specs, vs, base=0):
 def _build_kernel_body(
     vs, collision, bc_specs, compute_dtype, store_dtype, TX, TY,
     smagorinsky_coef=0.17, shifted=False, has_solids=True, force_vector=None,
-    ade=False, extern_force=False,
+    ade=False, extern_force=False, logical_z=None,
 ):
     """Returns the Pallas kernel body closure for a DdQq fused step.
 
@@ -570,7 +591,7 @@ def _build_kernel_body(
                     # c_m . n >= +1: such a direction is never a staged slot
                     # at this face (its pull source is interior fluid)
                     continue
-                neighbor = _roll_lane(staging_read(m, 1 - t[0], 1 - t[1]), t[2])
+                neighbor = _roll_lane(staging_read(m, 1 - t[0], 1 - t[1]), t[2], logical=logical_z)
                 if shifted:
                     neighbor = neighbor + cdt(w[m])
                 extrap_opp = cs_speed * neighbor + (1.0 - cs_speed) * f_s[m]
@@ -603,7 +624,7 @@ def _build_kernel_body(
                 cx, cy, cz = int(c[0, l]), int(c[1, l]), int(c[2, l])
             else:
                 cx, cy, cz = int(c[0, l]), 0, int(c[1, l])  # y0 stays centered (1)
-            fs_raw.append(_roll_lane(read_ext(l, 1 - cx, 1 - cy), cz))
+            fs_raw.append(_roll_lane(read_ext(l, 1 - cx, 1 - cy), cz, logical=logical_z))
 
         f_out = pointwise_core(fs_raw, lambda l: read_ext(l, 1, 1), packed, omega, aux, staging_read=read_ext)
         for l in range(q):

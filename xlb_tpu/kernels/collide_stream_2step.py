@@ -65,6 +65,7 @@ def build_fused_collide_stream_3d_kstep(
     padded_halo=False,
     sub_grid=None,
     alias_output=False,
+    logical_z=None,
 ):
     """Build a fused k-step: (f, mask_i32, omega) -> f after ``steps`` steps.
 
@@ -89,7 +90,7 @@ def build_fused_collide_stream_3d_kstep(
     assert 0 <= oi and oi + gi <= nX and 0 <= oj and oj + gj <= nY, f"sub_grid {sub_grid} out of range"
     n_tiles = gi * gj
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector, logical_z=logical_z)
     use_aux = body.use_aux
     nchan = body.aux_nchan if use_aux else 0
     compute_from_ext = body.compute_from_ext

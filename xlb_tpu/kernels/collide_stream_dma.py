@@ -62,8 +62,14 @@ def build_fused_collide_stream_3d_dma(
     alias_output=False,
     ade=False,
     extern_force=False,
+    logical_z=None,
 ):
-    """With ``padded_halo=True`` the f input (and output) carry a TX-wide
+    """``logical_z``: the domain's true z extent when ``shape[2]`` is an
+    internally padded 128-multiple lane extent (pad columns are solid
+    keep-out cells; lane rolls wrap at ``logical_z`` -- see
+    collide_stream._roll_lane).
+
+    With ``padded_halo=True`` the f input (and output) carry a TX-wide
     x-pad and TY-wide y-pad per side -- shape (q, X+2TX, Y+2TY, Z) around the
     (X, Y, Z) interior -- whose innermost layer/row holds neighbor-shard data
     from an ICI halo exchange.  Halo pieces then read fixed offsets into the
@@ -87,7 +93,7 @@ def build_fused_collide_stream_3d_dma(
     assert 0 <= oi and oi + gi <= nX and 0 <= oj and oj + gj <= nY, f"sub_grid {sub_grid} out of range"
     n_tiles = gi * gj
 
-    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector, ade=ade, extern_force=extern_force)
+    body = _build_kernel_body(velocity_set, collision, list(bc_specs), compute_dtype, store_dtype, TX, TY, shifted=shifted, has_solids=has_solids, force_vector=force_vector, ade=ade, extern_force=extern_force, logical_z=logical_z)
     compute_from_ext = body.compute_from_ext
 
     c = velocity_set._c

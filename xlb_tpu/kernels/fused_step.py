@@ -251,6 +251,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    z_pad, logical_z = 0, None
     if vs.d == 2:
         from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
 
@@ -268,13 +269,25 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
         )
     else:
         if kernel == "dma" and shape[2] % 128 != 0:
-            # Mosaic DMA slices need 128-multiple lane extents; block-mapped
-            # specs accept any full-Z block
-            notify_fallback(
-                f"fused step: z extent {shape[2]} is not a 128-multiple; using the "
-                "block-mapped kernel instead of the faster manual-DMA kernel"
-            )
-            kernel = "blocked"
+            if shape_override is None and not interpret:
+                # Mosaic DMA slices need 128-multiple lane extents: pad z
+                # internally (pad columns = solid keep-out; lane rolls wrap
+                # at the LOGICAL extent, collide_stream._roll_lane) instead
+                # of dropping to the block-mapped kernel.  The physical
+                # lane extent is padded to 128 by the tiled TPU layout
+                # anyway, so the pad costs no extra HBM traffic.  (Interpret
+                # mode pays REAL compute for pad lanes -> keep the blocked
+                # fallback there; tests/kernels/test_fused_zpad.py covers
+                # the padded path explicitly.)
+                z_pad = (-shape[2]) % 128
+                logical_z = shape[2]
+                shape = (shape[0], shape[1], shape[2] + z_pad)
+            else:
+                notify_fallback(
+                    f"fused step: z extent {shape[2]} is not a 128-multiple; using the "
+                    "block-mapped kernel instead of the faster manual-DMA kernel"
+                )
+                kernel = "blocked"
 
         if kernel == "dma":
             from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
@@ -284,6 +297,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
             builder = build_fused_collide_stream_3d
             tile = tile or (16, 8)
 
+        kw = {} if kernel != "dma" else {"logical_z": logical_z}
         fused = builder(
             vs,
             shape,
@@ -294,7 +308,11 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
             tile=tile,
             interpret=interpret,
             force_vector=force_vector,
+            **kw,
         )
+        if z_pad and aux_np is not None:
+            aux_np = np.pad(aux_np, ((0, 0),) * 3 + ((0, z_pad),))
+            aux_dev = jnp.asarray(aux_np)
 
     # -- differentiability: the fused forward pairs with a FUSED adjoint
     # sweep when every BC epilogue is voxel-local (kernels/adjoint_step.py:
@@ -311,10 +329,30 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
                 compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
                 tile=tile, interpret=interpret,
                 has_solids=getattr(stepper, "has_solids", True),
-                force_vector=force_vector,
+                force_vector=force_vector, logical_z=logical_z,
             )
         except (NotImplementedError, AssertionError):
             fused_bwd = None  # unsupported config: jnp-tier VJP below
+
+    def _pad_z(x, value=0):
+        if not z_pad:
+            return x
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, z_pad),), constant_values=value)
+
+    def _pad_f(x):
+        # pad columns hold the resting equilibrium f = w (NOT zeros): the
+        # solid keep-out discards their physics, but rho = 0 pads would
+        # emit NaNs that poison the omega cotangent through 0 * NaN
+        if not z_pad:
+            return x
+        w_col = jnp.broadcast_to(
+            jnp.asarray(vs._w, x.dtype).reshape((-1,) + (1,) * 3), x.shape[:-1] + (z_pad,)
+        )
+        return jnp.concatenate([x, w_col], axis=-1)
+
+    def _packed_masks(bc_mask, missing_mask):
+        # pad columns are solid keep-out cells (cell-type 255)
+        return pack_masks(_pad_z(bc_mask, 255), _pad_z(missing_mask, False))
 
     def _jnp_step(f_0, bc_mask, missing_mask, omega):
         _, f_1 = stepper._step_pull(f_0, f_0, bc_mask, missing_mask, omega, 0)
@@ -322,8 +360,9 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
 
     @jax.custom_vjp
     def fused_core(f_0, bc_mask, missing_mask, omega, aux):
-        mask_i32 = pack_masks(bc_mask, missing_mask)
-        return fused(f_0, mask_i32, omega, aux=aux)
+        mask_i32 = _packed_masks(bc_mask, missing_mask)
+        out = fused(_pad_f(f_0), mask_i32, omega, aux=aux)
+        return out[..., :logical_z] if z_pad else out
 
     def _fwd(f_0, bc_mask, missing_mask, omega, aux):
         return fused_core(f_0, bc_mask, missing_mask, omega, aux), (f_0, bc_mask, missing_mask, omega)
@@ -333,8 +372,10 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
 
         f_0, bc_mask, missing_mask, omega = res
         if fused_bwd is not None:
-            mask_i32 = pack_masks(bc_mask, missing_mask)
-            df, dom_field = fused_bwd(f_0, g, mask_i32, omega, aux=aux_dev)
+            mask_i32 = _packed_masks(bc_mask, missing_mask)
+            df, dom_field = fused_bwd(_pad_f(f_0), _pad_z(g), mask_i32, omega, aux=aux_dev)
+            if z_pad:
+                df = df[..., :logical_z]
             df = df.astype(f_0.dtype)
             dom = jnp.sum(dom_field.astype(jnp.float32)).astype(jnp.asarray(omega).dtype)
         else:
@@ -506,6 +547,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         raise NotImplementedError("spatial-BC aux fields are grid-shaped; they cannot ride a shape_override window")
 
     fused2 = None
+    z_pad, logical_z = 0, None
     if vs.d == 2:
         from xlb_tpu.kernels.collide_stream_2d import (
             build_fused_collide_stream_2d,
@@ -534,22 +576,35 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                 fused2 = None
     else:
         if kernel == "dma" and shape[2] % 128 != 0:
-            notify_fallback(
-                f"fused window: z extent {shape[2]} is not a 128-multiple; using the "
-                "block-mapped kernel (no temporal blocking) instead of the manual-DMA kernel"
-            )
-            kernel = "blocked"
+            if shape_override is None and not interpret:
+                # internal z padding (solid pad columns + logical-extent
+                # lane rolls, collide_stream._roll_lane): keeps the manual
+                # DMA kernel AND temporal blocking for any z extent; see
+                # the build_fused_step twin above for the interpret gate
+                z_pad = (-shape[2]) % 128
+                logical_z = shape[2]
+                shape = (shape[0], shape[1], shape[2] + z_pad)
+            else:
+                notify_fallback(
+                    f"fused window: z extent {shape[2]} is not a 128-multiple; using the "
+                    "block-mapped kernel (no temporal blocking) instead of the manual-DMA kernel"
+                )
+                kernel = "blocked"
         if kernel == "dma":
             from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
         else:
             builder = build_fused_collide_stream_3d
         tile = tile or (_auto_tile(shape) if kernel == "dma" else (16, 8))
+        kwz = {} if kernel != "dma" else {"logical_z": logical_z}
         fused = builder(
             vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile=tile, interpret=interpret, shifted=shifted, has_solids=has_solids,
-            force_vector=force_vector,
+            force_vector=force_vector, **kwz,
         )
+        if z_pad and aux_np is not None:
+            aux_np = np.pad(aux_np, ((0, 0),) * 3 + ((0, z_pad),))
+            aux_dev = jnp.asarray(aux_np)
         if temporal_steps is None:
             if two_step is not None:
                 temporal_steps = 2 if two_step else 1
@@ -576,6 +631,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                         compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
                         tile=tile, steps=k, interpret=interpret, shifted=shifted,
                         has_solids=has_solids, force_vector=force_vector,
+                        logical_z=logical_z,
                     )
                     temporal_steps = k
                     break
@@ -606,7 +662,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                 vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
                 compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
                 tile=tile, interpret=interpret, has_solids=has_solids,
-                force_vector=force_vector, shifted=shifted,
+                force_vector=force_vector, shifted=shifted, logical_z=logical_z,
             )
         except (NotImplementedError, AssertionError):
             win_bwd = None  # unsupported config: window stays forward-only
@@ -665,11 +721,31 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     # donate=True frees the caller's population buffers for reuse inside
     # the window -- required headroom for domains near the HBM limit
     # (callers must then treat their f_0/f_1 as consumed)
+    def _pad_z(x, value=0):
+        if not z_pad:
+            return x
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, z_pad),), constant_values=value)
+
+    def _pad_f(x):
+        # resting-equilibrium pad columns (f = w): inert under the solid
+        # keep-out, NaN-free under collision recompute and the adjoint,
+        # and exactly g = 0 in deviation-form storage
+        if not z_pad:
+            return x
+        w_col = jnp.broadcast_to(
+            jnp.asarray(vs._w, x.dtype).reshape((-1,) + (1,) * 3), x.shape[:-1] + (z_pad,)
+        )
+        return jnp.concatenate([x, w_col], axis=-1)
+
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def _run(f_0, f_1, bc_mask, missing_mask, omega, aux):
-        mask_i32 = pack_masks(bc_mask, missing_mask)
+        # internal z padding: pad once per window, crop once (pad columns
+        # are solid keep-out cells; lane rolls wrap at the logical extent)
+        mask_i32 = pack_masks(_pad_z(bc_mask, 255), _pad_z(missing_mask, False))
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
-        f_out = _window(f_0, mask_i32, omega_c, aux)
+        f_out = _window(_pad_f(f_0), mask_i32, omega_c, aux)
+        if z_pad:
+            f_out = f_out[..., :logical_z]
         return f_out, f_out
 
     def run(f_0, f_1, bc_mask, missing_mask, omega):
