@@ -201,7 +201,7 @@ class CompressedOOCArray(OOCArray):
         return np.concatenate([self._tile(i) for i in range(self.num_tiles)], axis=self.tile_axis)
 
 
-def ooc_map(fn, ooc_arrays, ghost=1, out_index=0, extra_args=()):
+def ooc_map(fn, ooc_arrays, ghost=1, out_index=0, extra_args=(), sharding=None):
     """Run ``fn`` tile-by-tile over padded tiles of the given OOCArrays
     (parity surface with the reference's OOCmap decorator,
     out_of_core.py:12-110).
@@ -219,6 +219,15 @@ def ooc_map(fn, ooc_arrays, ghost=1, out_index=0, extra_args=()):
     and re-lower the whole per-slab window every sweep.  Sweep-varying
     scalars (omega, ...) belong in ``extra_args`` so they ride as traced
     arguments instead of baked constants.
+
+    ``sharding``: an optional ``jax.sharding.Sharding`` (e.g. a
+    ``NamedSharding`` over a device mesh on the NON-tiled axes).  Each
+    uploaded tile is placed with it, so the per-tile compute runs GSPMD
+    across all chips while the domain streams through host RAM -- chips
+    AND host memory compose (the reference's OOC is single-GPU per tile
+    with optional MPI *between hosts*, out_of_core.py:86-88).  Shard the
+    y/z axes and keep the tiled x axis unsharded so the ghost machinery
+    stays purely host-side.
     """
     out_indices = [out_index] if isinstance(out_index, int) else list(out_index)
     outs = [ooc_arrays[k] for k in out_indices]
@@ -237,11 +246,16 @@ def ooc_map(fn, ooc_arrays, ghost=1, out_index=0, extra_args=()):
     # the last tile's hi ghost = tile 0's head.  Cache just that.
     head0 = {id(a): a.head_strip(ghost) for a in outs}
 
+    def _put(tile_np):
+        if sharding is None:
+            return jnp.asarray(tile_np)
+        return jax.device_put(tile_np, sharding)
+
     def _tiles(i):
         tiles = []
         for arr in ooc_arrays:
             hi = head0.get(id(arr)) if (i == n - 1 and n > 1) else None
-            tiles.append(jnp.asarray(arr.padded_tile(i, ghost, hi_override=hi)))
+            tiles.append(_put(arr.padded_tile(i, ghost, hi_override=hi)))
         return tiles
 
     pending = None  # (tile index, device results) awaiting writeback
@@ -277,7 +291,8 @@ class OOCNSESolver:
     (fused on an accelerator when the config supports it).
     """
 
-    def __init__(self, stepper, num_tiles, steps_per_sweep=1, tier="auto", compression=None):
+    def __init__(self, stepper, num_tiles, steps_per_sweep=1, tier="auto", compression=None,
+                 sharding=None):
         self.stepper = stepper
         self.num_tiles = int(num_tiles)
         self.steps_per_sweep = int(steps_per_sweep)
@@ -285,6 +300,9 @@ class OOCNSESolver:
         if compression not in (None, "zstd"):
             raise ValueError(f"compression must be None or 'zstd', got {compression!r}")
         self.compression = compression
+        # optional GSPMD sharding of each uploaded slab over a device mesh
+        # (shard y/z, never the tiled x axis): chips AND host RAM compose
+        self.sharding = sharding
 
     def prepare(self):
         f_0, f_1, bc_mask, missing_mask = self.stepper.prepare_fields()
@@ -344,5 +362,6 @@ class OOCNSESolver:
         jfn = self._tile_fn()
         om = jnp.asarray(omega, dtype=jnp.float32)
         for _ in range(num_steps // g):
-            ooc_map(jfn, [self.f, self.bc_mask, self.missing_mask], ghost=g, extra_args=(om,))
+            ooc_map(jfn, [self.f, self.bc_mask, self.missing_mask], ghost=g, extra_args=(om,),
+                    sharding=self.sharding)
         return self.f.to_numpy()
