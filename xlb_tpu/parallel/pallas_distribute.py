@@ -77,7 +77,13 @@ def build_distributed_fused_window(
         )
     px, py = grid.mesh_shape[0], grid.mesh_shape[1]
     if grid.mesh_shape[2] != 1:
-        raise NotImplementedError("z sharding conflicts with the fused kernel's resident-Z layout; shard x/y")
+        raise NotImplementedError(
+            "z sharding conflicts with the fused kernel's resident-Z (lane-dim) layout: a z halo "
+            "pays 128-lane physical granularity per side, a ~50% per-step tax on typical shards "
+            "(docs/architecture.md, 'Why the fused distributed path shards x/y but not z'). "
+            "Map the domain's two largest axes to x/y and shard those (any 2-D mesh works), or "
+            "use the jnp distribute tier (parallel/distribute.py) which accepts N-D meshes."
+        )
     TX, TY = tile
     q = vs.q
     Xl, Yl, Z = grid.shape[0] // px, grid.shape[1] // py, grid.shape[2]
