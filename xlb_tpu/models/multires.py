@@ -393,12 +393,17 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
 
     def _avg_from_out2(self, out2):
         """Finish the fine->coarse average from the pair kernel's 2x2
-        x/y-summed side output: slice the interior, z-pair sum, scale."""
+        x/y-summed side output: slice the interior, z-pair sum, scale.
+
+        The z-pair sum uses a reshape-split rather than strided lane
+        slices: measured 2.2 vs 2.9 ms on the 192^3 scene (stride-2 lane
+        gathers relayout the whole array; the trailing (Z/2, 2) split
+        keeps lanes contiguous)."""
         gx, gy, gz = self._cts_ring
         X, Y, Z = self.grid.levels[0].shape
         sl = out2[:, gx // 2 : (gx + X) // 2, gy // 2 : (gy + Y) // 2, gz : gz + Z]
         sl = sl.astype(self.precision_policy.compute_dtype)
-        return (sl[..., 0::2] + sl[..., 1::2]) * self.precision_policy.compute_dtype(0.125)
+        return sl.reshape(sl.shape[:-1] + (Z // 2, 2)).sum(-1) * self.precision_policy.compute_dtype(0.125)
 
     def _coalesce(self, f_coarse, f_fine, level_fine):
         """Average 2^d fine children into the refined coarse cells."""
