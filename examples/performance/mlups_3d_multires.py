@@ -17,9 +17,10 @@ from xlb_tpu.helper.simulation_manager import MultiresSimulationManager
 from xlb_tpu.mres_perf_optimization_type import MresPerfOptimizationType
 
 
-def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3, mres_perf="naive_collide_stream"):
+def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3,
+        mres_perf="naive_collide_stream", precision="FP32FP32"):
     xlb.init(velocity_set=D3Q19(), default_backend=xlb.ComputeBackend.JAX,
-             default_precision_policy=xlb.PrecisionPolicy.FP32FP32)
+             default_precision_policy=getattr(xlb.PrecisionPolicy, precision))
 
     n = coarse_edge
     boxes = []
@@ -53,7 +54,7 @@ def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3, mre
         best = min(best, time.perf_counter() - t0)
 
     mlups = updates_per_coarse * num_coarse_steps / best / 1e6
-    print(f"multires {L} levels, coarse {n}^3, {strategy.value}: {mlups:.1f} MLUPS "
+    print(f"multires {L} levels, coarse {n}^3, {strategy.value}, {precision}: {mlups:.1f} MLUPS "
           f"({updates_per_coarse / 1e6:.2f}M updates/coarse step)")
     return mlups
 
@@ -65,6 +66,9 @@ if __name__ == "__main__":
                         help="refined-box edge as a fraction of the parent (1.0 = full-domain refinement)")
     parser.add_argument("--levels", type=int, default=2)
     parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--precision", default="FP32FP32",
+                        help="PrecisionPolicy name (FP32BF16 runs the deviation-form 16-bit kernel)")
     args = parser.parse_args()
     run(coarse_edge=args.coarse_edge, box_frac=args.box_frac, levels=args.levels,
-        num_coarse_steps=args.steps, mres_perf=args.mres_perf_optimization)
+        num_coarse_steps=args.steps, mres_perf=args.mres_perf_optimization,
+        precision=args.precision)

@@ -66,6 +66,36 @@ def test_fused_multires_matches_naive(strategy, collision):
         assert diff < 5e-6, f"fused multires collide diverges from naive by {diff}"
 
 
+@pytest.mark.fast
+def test_fused_multires_bf16_shifted_tracks_f32():
+    """16-bit multires storage runs the CTS pair kernel in deviation form
+    (g = f - w) and every jnp coarse level shifted inside the window; the
+    result tracks the f32 tier to the bf16 deviation scale (~0.4% of the
+    weights), through BOTH the per-call and resident-window paths."""
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    results = {}
+    for precision in ("FP32FP32", "FP32BF16"):
+        boundary_condition_registry.reset()
+        init_env(D3Q19, precision=precision)
+        grid, bcs = _scene()
+        st = MultiresIncompressibleNavierStokesStepper(
+            grid, boundary_conditions=bcs, mres_perf_opt=MresPerfOptimizationType.FUSION_AT_FINEST
+        )
+        assert st._cts is not None
+        assert st._cts_shifted == (precision == "FP32BF16")
+        fs, _, bms, mms = st.prepare_fields()
+        win = st.build_window(2, donate=False)
+        out_w = win(list(fs), bms, mms, 1.5)
+        out_c = st(list(fs), bms, mms, 1.5)
+        results[precision] = (out_w, out_c)
+
+    for k in range(2):  # 0: window path, 1: per-call path
+        for lvl, (la, lb) in enumerate(zip(results["FP32FP32"][k], results["FP32BF16"][k])):
+            diff = float(jnp.abs(la.astype(jnp.float32) - lb.astype(jnp.float32)).max())
+            assert diff < 6e-3, f"bf16-shifted multires diverges from f32 at level {lvl} (path {k}): {diff}"
+
+
 def test_fused_multires_falls_back_on_staging_bcs():
     """A level with an aux-staging BC (extrapolation outflow) silently uses
     the jnp tier rather than mis-fusing."""

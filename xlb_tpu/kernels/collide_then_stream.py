@@ -129,11 +129,13 @@ def build_fused_collide_then_stream(
     interpret=False,
     force_vector=None,
     pair=False,
+    shifted=False,
 ):
     """Build ``step(f_ext, mask_ext, omega) -> f_ext_new`` over the
     ghost-extended level array, advancing one sub-step (or two with
     ``pair=True``).  Ring outputs are garbage; the stepper slices the
-    interior / refreshes the ring."""
+    interior / refreshes the ring.  ``shifted=True`` stores populations in
+    deviation form g = f - w (see build_fused_cts_pair_thin)."""
     vs = velocity_set
     q, d = vs.q, vs.d
     assert d == 3, "multires CTS kernel is 3-D (2-D multires runs on the jnp tier)"
@@ -179,26 +181,41 @@ def build_fused_collide_then_stream(
         mext[TX + W : TX + 2 * W, 0:W, :] = m_c10[:, TY - W : TY, :]
         mext[TX + W : TX + 2 * W, TY + W : TY + 2 * W, :] = m_c11[:, 0:W, :]
 
-        f_pre = [ext[l] for l in range(q)]
+        w = vs._w
+        if shifted:
+            f_pre = [ext[l] + cdt(w[l]) for l in range(q)]
+        else:
+            f_pre = [ext[l] for l in range(q)]
         packed_e = mext[...]
 
         f_s = substep(f_pre, packed_e, omega)
         if pair:
             # storage-dtype round trip keeps bit-compatibility with two
-            # single passes.  Ring cells of the intermediate must carry the
-            # SAME ghost values (both sub-steps share one explosion): A's
-            # post-stream ring outputs are garbage, so restore them from
-            # the assembled input before sub-step B.
+            # single passes (the DEVIATION is what rounds when shifted).
+            # Ring cells of the intermediate must carry the SAME ghost
+            # values (both sub-steps share one explosion): A's post-stream
+            # ring outputs are garbage, so restore them from the assembled
+            # input before sub-step B.
             packed_mid = packed_e[1:-1, 1:-1, :]
             keep_mid = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_mid, 27), 31) == 30
-            f_mid = [
-                jnp.where(keep_mid, f_pre[l][1:-1, 1:-1, :], v.astype(store_dtype).astype(cdt))
-                for l, v in enumerate(f_s)
-            ]
+            if shifted:
+                f_mid = [
+                    jnp.where(
+                        keep_mid,
+                        f_pre[l][1:-1, 1:-1, :],
+                        (v - cdt(w[l])).astype(store_dtype).astype(cdt) + cdt(w[l]),
+                    )
+                    for l, v in enumerate(f_s)
+                ]
+            else:
+                f_mid = [
+                    jnp.where(keep_mid, f_pre[l][1:-1, 1:-1, :], v.astype(store_dtype).astype(cdt))
+                    for l, v in enumerate(f_s)
+                ]
             f_s = substep(f_mid, packed_mid, omega)
 
         for l in range(q):
-            out[l] = f_s[l].astype(store_dtype)
+            out[l] = (f_s[l] - cdt(w[l]) if shifted else f_s[l]).astype(store_dtype)
 
     def fmap(dx, dy, bx, by):
         def index_map(i, j):
@@ -271,6 +288,7 @@ def build_fused_cts_pair_thin(
     interpret=False,
     force_vector=None,
     coalesce_out=False,
+    shifted=False,
 ):
     """Thin-piece collide-then-stream PAIR over a ring-extended level array.
 
@@ -298,6 +316,17 @@ def build_fused_cts_pair_thin(
     full-array read the host-side average would cost (the caller finishes
     with a cheap z-pair sum on the 4x smaller array).  Requires even TX/2
     alignment: TX % 4 == 0... (TX, TY multiples of 2 and 16).
+
+    With ``shifted=True`` the HBM-resident ext array holds populations in
+    deviation form g_l = f_l - w_l (the same well-conditioning trick as the
+    single-res kernels, collide_stream.py): loads add the lattice weight,
+    stores subtract it, so 16-bit storage keeps its full mantissa on the
+    physically-varying part.  The A->B storage round trip rounds the
+    DEVIATION (bit-compatible with two shifted single passes), and the
+    coalescence side output sums the store-rounded deviations -- the caller
+    adds the weight back after its z-pair sum (models/multires.py::
+    _avg_from_out2).  Ring faces written by the caller must be shifted the
+    same way.
     """
     vs = velocity_set
     q, d = vs.q, vs.d
@@ -325,6 +354,13 @@ def build_fused_cts_pair_thin(
         + (TX + 4) * (TY + 4) * Zl * 4  # assembled mask scratch
         + q * (TX + 2) * (TY + 2) * Zl * isz  # A -> B intermediate
         + 2 * q * TX * TY * Zl * isz  # pipelined output
+        # shifted 16-bit storage shrinks the piece/intermediate terms, which
+        # lets the tile search pick areas whose f32 COMPUTE working set (not
+        # modeled above) blows the Mosaic scoped-vmem stack: charge 2.5
+        # ext-sized f32 slab sets as an empirical safety term (tile (28,32)
+        # measured 120.8 MB actual vs a 97 MB estimate with only 1.0x;
+        # the f32 store path keeps its proven tile selection unchanged)
+        + (int(2.5 * q * (TX + 4) * (TY + 4) * Zl * 4) if shifted else 0)
     )
     if vmem_est > _VMEM_BUDGET:
         raise ValueError(
@@ -362,6 +398,13 @@ def build_fused_cts_pair_thin(
         mext[TX + 2 : TX + 4, 0:2, :] = m_c10[:, 6:8, :]
         mext[TX + 2 : TX + 4, TY + 2 : TY + 4, :] = m_c11[:, 0:2, :]
 
+        w = vs._w
+        if shifted:
+            # unshift the assembled scratch IN PLACE: materializing
+            # f = g + w as q separate f32 temporaries blows the Mosaic
+            # scoped-vmem stack at wide tiles
+            for l in range(q):
+                ext[l] = ext[l] + cdt(w[l])
         f_pre = [ext[l] for l in range(q)]
         packed_A = mext[...]
 
@@ -369,26 +412,36 @@ def build_fused_cts_pair_thin(
         f_s = substep(f_pre, packed_A, omega)
 
         # storage round trip + ring restore (both sub-steps share one
-        # explosion; A's post-stream ring outputs are garbage)
+        # explosion; A's post-stream ring outputs are garbage).  The kept
+        # branch reconstructs the stored deviation as (g + w) - w when
+        # shifted (<= 1 f32 ulp of the raw g; the 16-bit store rounding
+        # dominates), and reuses the raw value exactly otherwise.
         packed_mid = packed_A[1:-1, 1:-1, :]
         keep_mid = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_mid, 27), 31) >= 30
         for l in range(q):
-            inter[l] = jnp.where(
-                keep_mid, f_pre[l][1:-1, 1:-1, :], f_s[l].astype(store_dtype).astype(cdt)
-            ).astype(store_dtype)
+            src = f_pre[l][1:-1, 1:-1, :]
+            if shifted:
+                src = src - cdt(w[l])
+                new = (f_s[l] - cdt(w[l])).astype(store_dtype).astype(cdt)
+            else:
+                new = f_s[l].astype(store_dtype).astype(cdt)
+            inter[l] = jnp.where(keep_mid, src, new).astype(store_dtype)
 
         # sub-step B on (TX+2, TY+2) -> the (TX, TY) core
-        f_mid = [inter[l].astype(cdt) for l in range(q)]
+        f_mid = [
+            inter[l].astype(cdt) + cdt(w[l]) if shifted else inter[l].astype(cdt) for l in range(q)
+        ]
         f_core = substep(f_mid, packed_mid, omega)
         for l in range(q):
-            v = f_core[l].astype(store_dtype)
+            v = (f_core[l] - cdt(w[l]) if shifted else f_core[l]).astype(store_dtype)
             out[l] = v
             if coalesce_out:
-                # sum the STORE-rounded values so the host-side z-pair sum
-                # reproduces models/multires._coalesce_avg bit-for-bit.
-                # Pair sums via reshape-split (Mosaic-legal on the major and
-                # sublane dims); strided slices lower to >2-D gathers and
-                # fail to compile.
+                # sum the STORE-rounded values (deviations when shifted --
+                # the caller adds the weight back) so the host-side z-pair
+                # sum reproduces models/multires._coalesce_avg bit-for-bit
+                # in the f32 case.  Pair sums via reshape-split (Mosaic-
+                # legal on the major and sublane dims); strided slices
+                # lower to >2-D gathers and fail to compile.
                 vc = v.astype(cdt)
                 a = vc.reshape(TX // 2, 2, TY, Zl).sum(axis=1)
                 out2[l] = (

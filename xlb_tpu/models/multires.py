@@ -112,6 +112,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         self._fused_collide = [None] * grid.num_levels
         self._cts = None  # fused collide-then-stream kernel for the finest level
         self._cts_ring = (1, 1, 1)  # per-axis ghost-ring widths of the ext array
+        self._cts_shifted = False  # deviation-form (g = f - w) storage in the kernel path
         self.active_finest_tier = "jnp"
         if mres_perf_opt == MresPerfOptimizationType.FUSION_AT_FINEST:
             fused_levels = ()
@@ -191,16 +192,22 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         # estimate and pushes tile selection to high-amplification tiles,
         # which costs far more than the misaligned-lane relayouts save.
         gz = 2
+        # 16-bit storage runs in deviation form (g = f - w): same
+        # well-conditioning trick as the single-res kernels, at half the
+        # pair kernel's HBM traffic (docs/performance.md)
+        shifted = jnp.dtype(self.precision_policy.store_dtype).itemsize < 4
         for _, tile, gx, gy in sorted(candidates):
             ext_shape = (X + 2 * gx, Y + 2 * gy, Z + 2 * gz)
             # in-kernel 2x2 x/y coalescence needs even rings (fine-cell
-            # pairs aligned to ext pairs) and f32 storage (sum rounding
-            # matches the jnp tier bit-for-bit only without a 16-bit cast)
+            # pairs aligned to ext pairs) and either f32 storage (sum
+            # rounding matches the jnp tier bit-for-bit) or deviation-form
+            # 16-bit storage (sums carry the deviation scale, so the
+            # 16-bit rounding stays benign)
             co = (
                 gx % 2 == 0
                 and gy % 2 == 0
                 and tile[1] % 16 == 0
-                and self.precision_policy.store_dtype == jnp.float32
+                and (self.precision_policy.store_dtype == jnp.float32 or shifted)
             )
             try:
                 self._cts = build_fused_cts_pair_thin(
@@ -213,10 +220,16 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                     tile=tile,
                     interpret=interpret,
                     coalesce_out=co,
+                    shifted=shifted,
                 )
                 self._cts_ring = (gx, gy, gz)
                 self._cts_has_coalesce = co
-                self.active_finest_tier = f"cts_pair_thin tile {tile} ring {self._cts_ring}" + (" +coalesce" if co else "")
+                self._cts_shifted = shifted
+                self.active_finest_tier = (
+                    f"cts_pair_thin tile {tile} ring {self._cts_ring}"
+                    + (" +coalesce" if co else "")
+                    + (" shifted" if shifted else "")
+                )
                 return
             except (NotImplementedError, ValueError):
                 continue
@@ -239,8 +252,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                         tile=(8, 8),
                         interpret=interpret,
                         pair=True,
+                        shifted=shifted,
                     )
                     self._cts_ring = (g, g, g)
+                    self._cts_shifted = shifted
                     self.active_finest_tier = f"cts_pair_blocked ring {g}"
                     notify_fallback(
                         "multires finest level uses the block-mapped pair kernel "
@@ -391,19 +406,32 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         new_shape = avg.shape[:-1] + (shape[d - 1] // 2, 2)
         return avg.reshape(new_shape).sum(axis=-1) * self.precision_policy.compute_dtype(0.5**d)
 
+    def _w_col(self):
+        """Lattice weights as a host-NumPy (q, 1, 1[, 1]) broadcast column
+        (NumPy so it embeds as a small jit constant -- device-array
+        constants stall lowering on this stack, CLAUDE.md)."""
+        w = np.asarray(self.velocity_set._w, dtype=np.dtype(self.precision_policy.compute_dtype))
+        return w.reshape((-1,) + (1,) * self.grid.dim)
+
     def _avg_from_out2(self, out2):
         """Finish the fine->coarse average from the pair kernel's 2x2
         x/y-summed side output: slice the interior, z-pair sum, scale.
+        When the kernel stores deviations (shifted), out2 holds deviation
+        sums -- add the weight back after scaling.
 
         The z-pair sum uses a reshape-split rather than strided lane
         slices: measured 2.2 vs 2.9 ms on the 192^3 scene (stride-2 lane
         gathers relayout the whole array; the trailing (Z/2, 2) split
         keeps lanes contiguous)."""
+        cdt = self.precision_policy.compute_dtype
         gx, gy, gz = self._cts_ring
         X, Y, Z = self.grid.levels[0].shape
         sl = out2[:, gx // 2 : (gx + X) // 2, gy // 2 : (gy + Y) // 2, gz : gz + Z]
-        sl = sl.astype(self.precision_policy.compute_dtype)
-        return sl.reshape(sl.shape[:-1] + (Z // 2, 2)).sum(-1) * self.precision_policy.compute_dtype(0.125)
+        sl = sl.astype(cdt)
+        avg = sl.reshape(sl.shape[:-1] + (Z // 2, 2)).sum(-1) * cdt(0.125)
+        if self._cts_shifted:
+            avg = avg + self._w_col()
+        return avg
 
     def _coalesce(self, f_coarse, f_fine, level_fine):
         """Average 2^d fine children into the refined coarse cells."""
@@ -491,6 +519,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             for a in range(d):
                 if a != axis:
                     slab2 = jnp.take(slab2, jnp.asarray(maps[a]), axis=a + 1)
+            if self._cts_shifted:
+                slab2 = slab2 - self._w_col()  # faces live in the kernel's deviation form
             slab2 = slab2.astype(store_dtype)
             for side, pos in enumerate(positions):
                 sl = [slice(None)] * (d + 1)
@@ -500,16 +530,39 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 faces.append((tuple(idx), slab2[tuple(sl)]))
         return faces
 
-    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None):
+    def _fine_for_avg(self, fs, child, ext_state, shifted_state):
+        """The child level's populations in compute dtype, unshifted, ready
+        for the fallback host-side coalescence average (the ``out2 is
+        None`` paths)."""
+        pp = self.precision_policy
+        f_fine = fs[child]
+        shifted = False
+        if child == 0 and ext_state:
+            g = self._cts_ring
+            f_fine = f_fine[(slice(None),) + tuple(slice(gi, -gi) for gi in g)]
+            shifted = self._cts_shifted
+        elif child > 0:
+            shifted = shifted_state
+        f = pp.cast_to_compute(f_fine)
+        if shifted:
+            f = f + self._w_col()
+        return f
+
+    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False):
         """Advance ``level`` by one of its own timesteps (recursively running
         2 sub-steps of each finer level).  ``fs`` is the per-level state list
         (current populations).  ``probe``, if given, is called as
         ``probe(level, f_post_stream, f_post_collision)`` after each
         sub-step (used by step_with_force).  ``ext_state``/``mask_ext``:
-        resident ring-extended finest state (see build_window)."""
+        resident ring-extended finest state (see build_window).
+        ``shifted_state``: coarse-level states live in deviation form
+        g = f - w between sub-steps (16-bit windows) -- loads add the
+        weight back, stores subtract it."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         f = pp.cast_to_compute(fs[level])
+        if shifted_state and level > 0:
+            f = f + self._w_col()
 
         child = level - 1
         fast_full = (
@@ -526,18 +579,14 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             if out2 is not None:
                 f_pc = self._avg_from_out2(out2)
             else:
-                f_fine = fs[child]
-                if ext_state:
-                    g = self._cts_ring
-                    f_fine = f_fine[(slice(None),) + tuple(slice(gi, -gi) for gi in g)]
-                f_pc = self._coalesce_avg(pp.cast_to_compute(f_fine), child)
+                f_pc = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
         else:
             f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
             f_pc = self._freeze_solids(level, f, f_pc, bms)
 
         if level > 0 and not fast_full:
             # two fine sub-steps against this level's post-collision state
-            fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext)
+            fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state)
             # pull coalesced fine state into the refined region before streaming
             if out2 is not None:
                 avg = self._avg_from_out2(out2)
@@ -547,11 +596,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 )
                 f_pc = f_pc.at[slc].set(avg.astype(f_pc.dtype))
             else:
-                f_fine = fs[child]
-                if child == 0 and ext_state:
-                    g = self._cts_ring
-                    f_fine = f_fine[(slice(None),) + tuple(slice(gi, -gi) for gi in g)]
-                f_pc = self._coalesce(f_pc, pp.cast_to_compute(f_fine), child)
+                f_pc = self._coalesce(f_pc, self._fine_for_avg(fs, child, ext_state, shifted_state), child)
 
         f_ps = stream_pull(f_pc, self.velocity_set._c)
         f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
@@ -559,10 +604,12 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         if probe is not None:
             probe(level, f_ps, f_pc)
         fs = list(fs)
+        if shifted_state and level > 0:
+            f_ps = f_ps - self._w_col()
         fs[level] = pp.cast_to_store(f_ps)
         return fs
 
-    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe, ext_state=False, mask_ext=None):
+    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe, ext_state=False, mask_ext=None, shifted_state=False):
         """Run the two sub-steps of ``level - 1`` against this level's
         post-collision state, through the fused finest path when active
         (the force probe needs the jnp path's intermediate states)."""
@@ -570,7 +617,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         if child == 0 and self._cts is not None and probe is None:
             return self._cts_fine_pair(fs, bms, mms, omega_finest, f_pc, ext_state=ext_state, mask_ext=mask_ext)
         ghost_ext = self._explode(f_pc, child)
-        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext), None
+        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state), None
 
     def _explode_ring_faces(self, parent_pc, level, ring, store_dtype):
         """Gather only the INNERMOST ghost-ring layer (the only ring cells
@@ -596,6 +643,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                         slab = jnp.take(slab, jnp.asarray(maps[a]), axis=a + 1)
                 idx = [0] * (d + 1)
                 idx[axis + 1] = pos
+                if self._cts_shifted:
+                    slab = slab - self._w_col()  # faces live in the kernel's deviation form
                 faces.append((tuple(idx), slab.astype(store_dtype)))
         return faces
 
@@ -643,7 +692,13 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         if ext_state:
             ext = fs[0]
         else:
-            ext = jnp.pad(fs[0], ((0, 0),) + tuple((gi, gi) for gi in g))
+            f0 = fs[0]
+            if self._cts_shifted:
+                # one-shot entry into the kernel's deviation form; the
+                # resident-window path (ext_state) keeps the state shifted
+                # across the whole window instead
+                f0 = (pp.cast_to_compute(f0) - self._w_col()).astype(pp.store_dtype)
+            ext = jnp.pad(f0, ((0, 0),) + tuple((gi, gi) for gi in g))
         if faces is None:
             faces = self._explode_ring_faces(parent_pc, 0, g, pp.store_dtype)
         ext = self._overlay_faces(ext, faces)
@@ -654,18 +709,25 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             fs[0] = ext
         else:
             interior = (slice(None),) + tuple(slice(gi, -gi) for gi in g)
-            fs[0] = ext[interior]
+            f0 = ext[interior]
+            if self._cts_shifted:
+                # unshift to the COMPUTE dtype: re-quantizing f = g + w to
+                # 16 bits would erase deviations below ~0.4% of the weights
+                f0 = pp.cast_to_compute(f0) + self._w_col()
+            fs[0] = f0
         return fs, out2
 
-    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None):
+    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None, shifted_state=False):
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         for _ in range(2):
             f = pp.cast_to_compute(fs[level])
+            if shifted_state and level > 0:
+                f = f + self._w_col()
             f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
             f_pc = self._freeze_solids(level, f, f_pc, bms)
             if level > 0:
-                fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext)
+                fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state)
                 if out2 is not None:
                     avg = self._avg_from_out2(out2)
                     lvl_c = self.grid.levels[level - 1]
@@ -674,17 +736,15 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                     )
                     f_pc = f_pc.at[slc].set(avg.astype(f_pc.dtype))
                 else:
-                    f_fine = fs[level - 1]
-                    if level - 1 == 0 and ext_state:
-                        g = self._cts_ring
-                        f_fine = f_fine[(slice(None),) + tuple(slice(gi, -gi) for gi in g)]
-                    f_pc = self._coalesce(f_pc, pp.cast_to_compute(f_fine), level - 1)
+                    f_pc = self._coalesce(f_pc, self._fine_for_avg(fs, level - 1, ext_state, shifted_state), level - 1)
             f_ps = self._stream_with_ghosts(f_pc, ghost_ext, level)
             f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
             f_ps = self._freeze_solids(level, f, f_ps, bms)
             if probe is not None:
                 probe(level, f_ps, f_pc)
             fs = list(fs)
+            if shifted_state and level > 0:
+                f_ps = f_ps - self._w_col()
             fs[level] = pp.cast_to_store(f_ps)
         return fs
 
@@ -720,18 +780,37 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         g = self._cts_ring
         pad_w = ((0, 0),) + tuple((gi, gi) for gi in g)
         interior = (slice(None),) + tuple(slice(gi, -gi) for gi in g)
+        pp = self.precision_policy
+        shifted = self._cts_shifted
 
         def run_ext(fs, bms, mms, omega_finest):
             mask_ext = self._fine_mask_ext(bms, mms)
-            state = [jnp.pad(fs[0], pad_w)] + list(fs[1:])
+            f0, coarse = fs[0], list(fs[1:])
+            if shifted:
+                # 16-bit windows keep EVERY level's state in deviation form
+                # g = f - w for the whole window (finest: the kernel's
+                # native storage; coarser: load-add / store-subtract around
+                # the jnp sub-steps) and unshift once at the boundary --
+                # into the compute dtype, since quantizing f = g + w back
+                # to 16 bits would erase small deviations.
+                wcol = self._w_col()
+                f0 = (pp.cast_to_compute(f0) - wcol).astype(pp.store_dtype)
+                coarse = [(pp.cast_to_compute(fv) - wcol).astype(pp.store_dtype) for fv in coarse]
+            state = [jnp.pad(f0, pad_w)] + coarse
 
             def body(i, s):
                 return self._advance(
-                    L - 1, list(s), bms, mms, omega_finest, ext_state=True, mask_ext=mask_ext
+                    L - 1, list(s), bms, mms, omega_finest, ext_state=True, mask_ext=mask_ext,
+                    shifted_state=shifted,
                 )
 
             state = jax.lax.fori_loop(0, num_coarse_steps, body, state)
-            return [state[0][interior]] + list(state[1:])
+            f0_out, coarse_out = state[0][interior], list(state[1:])
+            if shifted:
+                wcol = self._w_col()
+                f0_out = pp.cast_to_compute(f0_out) + wcol
+                coarse_out = [pp.cast_to_compute(sv) + wcol for sv in coarse_out]
+            return [f0_out] + coarse_out
 
         return jax.jit(run_ext, donate_argnums=donate_argnums)
 
