@@ -279,7 +279,13 @@ class IBMStepper(IncompressibleNavierStokesStepper):
 
         forces0 = jnp.zeros_like(vertices)
         corr0 = jnp.zeros_like(u_win)
-        forces, correction = jax.lax.fori_loop(0, self.ibm_max_iterations, body, (forces0, corr0))
+        # unroll the multi-direct iterations: as a lax.fori_loop (while-op)
+        # the chunked transfer einsums serialize behind the loop barrier --
+        # measured 42 ms/iteration vs ~sub-ms unrolled at 82k markers on a
+        # 70^3 window (XLA fuses and latency-hides the unrolled chain)
+        forces, correction = forces0, corr0
+        for i in range(self.ibm_max_iterations):
+            forces, correction = body(i, (forces, correction))
 
         # 3. apply the Eulerian correction to the populations via the
         #    exact-difference of equilibria (reference correct_population_ibm)
