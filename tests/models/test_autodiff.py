@@ -151,3 +151,37 @@ def test_gradient_through_fused_window():
     # jnp tier's at f32 roundoff -- tolerance reflects that, not the
     # per-element f-gradient agreement above
     np.testing.assert_allclose(float(go_w), float(go_j), rtol=2e-3)
+
+
+@pytest.mark.fast
+def test_gradient_through_multires_step():
+    """Multires rollouts differentiate natively on the jnp tier (the
+    reference's Neon multires kernels have no backward at all): grad of a
+    kinetic-energy loss through two coarse steps wrt omega matches a
+    central finite difference."""
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.grid.multires import MultiresGrid
+    from xlb_tpu.models.multires import MultiresIncompressibleNavierStokesStepper
+
+    init_env(D3Q19, precision="FP64FP64")  # f64: the central difference is exact enough to pin AD
+    grid = MultiresGrid((12, 12, 12), boxes=[((3, 3, 3), (6, 6, 6))])
+    st = MultiresIncompressibleNavierStokesStepper(grid)
+    fs, _, bms, mms = st.prepare_fields()
+    # smooth shear perturbation so omega actually matters
+    fs = [
+        f * (1.0 + 0.05 * jnp.asarray(np.sin(2 * np.pi * (np.arange(f.shape[1]) + 0.5) / f.shape[1]))[None, :, None, None])
+        for f in fs
+    ]
+
+    @jax.jit
+    def loss(omega):
+        out = list(fs)
+        for _ in range(2):
+            out = st(out, bms, mms, omega)
+        return sum(jnp.sum(f ** 2) for f in out)
+
+    g = float(jax.grad(loss)(1.5))
+    eps = 1e-5
+    fd = float((loss(1.5 + eps) - loss(1.5 - eps)) / (2 * eps))
+    assert np.isfinite(g)
+    assert abs(g - fd) < 1e-5 * max(1.0, abs(fd)), (g, fd)
