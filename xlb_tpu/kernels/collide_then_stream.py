@@ -289,6 +289,7 @@ def build_fused_cts_pair_thin(
     force_vector=None,
     coalesce_out=False,
     shifted=False,
+    pair=True,
 ):
     """Thin-piece collide-then-stream PAIR over a ring-extended level array.
 
@@ -327,6 +328,14 @@ def build_fused_cts_pair_thin(
     adds the weight back after its z-pair sum (models/multires.py::
     _avg_from_out2).  Ring faces written by the caller must be shifted the
     same way.
+
+    With ``pair=False`` the kernel advances ONE sub-step (collide -> BCs ->
+    stream -> BCs).  This is the COARSEST-level fast path: the level has no
+    parent ring (pieces wrap modularly = true periodic streaming, matching
+    the jnp tier's roll semantics), its refined cells carry packed
+    cell-type 30 so they keep their pre-merged coalesced values through
+    the collide and stream normally -- one HBM pass replaces the jnp
+    collide + coalesce + stream + BC chain (models/multires.py::_advance).
     """
     vs = velocity_set
     q, d = vs.q, vs.d
@@ -337,6 +346,7 @@ def build_fused_cts_pair_thin(
     assert TX % 2 == 0 and TY % 8 == 0, "TX must be even (2-wide x strips), TY an 8-multiple"
     assert Ye % 8 == 0, "the 8-row y-halo blocks must tile the y extent"
     if coalesce_out:
+        assert pair, "coalesce_out is a pair-mode (finest level) feature"
         assert TY % 16 == 0 and Xe % 2 == 0, "coalesce_out needs 8-mult TY/2 sublanes"
     nX, nY = Xe // TX, Ye // TY
     cdt = compute_dtype
@@ -352,7 +362,7 @@ def build_fused_cts_pair_thin(
         2 * 2 * q * (TX * TY + 2 * 2 * TY + 2 * 8 * TX + 4 * 16) * Zl * isz  # in pieces (dbl-buffered)
         + q * (TX + 4) * (TY + 4) * Zl * 4  # assembled ext scratch (f32)
         + (TX + 4) * (TY + 4) * Zl * 4  # assembled mask scratch
-        + q * (TX + 2) * (TY + 2) * Zl * isz  # A -> B intermediate
+        + (q * (TX + 2) * (TY + 2) * Zl * isz if pair else 0)  # A -> B intermediate
         + 2 * q * TX * TY * Zl * isz  # pipelined output
         # shifted 16-bit storage shrinks the piece/intermediate terms, which
         # lets the tile search pick areas whose f32 COMPUTE working set (not
@@ -372,10 +382,10 @@ def build_fused_cts_pair_thin(
                m_center, m_xlo, m_xhi, m_ylo, m_yhi, m_c00, m_c01, m_c10, m_c11,
                out, *rest):
         if coalesce_out:
-            out2, ext, mext, inter = rest
+            out2, ext, mext, *maybe_inter = rest
         else:
-            ext, mext, inter = rest
-            out2 = None
+            (ext, mext, *maybe_inter), out2 = rest, None
+        inter = maybe_inter[0] if maybe_inter else None
         omega = cdt(omega_ref[0, 0])
 
         # ---- assemble the depth-2 halo region (TX+4, TY+4) ---------------
@@ -408,30 +418,34 @@ def build_fused_cts_pair_thin(
         f_pre = [ext[l] for l in range(q)]
         packed_A = mext[...]
 
-        # sub-step A on (TX+4, TY+4) -> (TX+2, TY+2)
-        f_s = substep(f_pre, packed_A, omega)
+        if pair:
+            # sub-step A on (TX+4, TY+4) -> (TX+2, TY+2)
+            f_s = substep(f_pre, packed_A, omega)
 
-        # storage round trip + ring restore (both sub-steps share one
-        # explosion; A's post-stream ring outputs are garbage).  The kept
-        # branch reconstructs the stored deviation as (g + w) - w when
-        # shifted (<= 1 f32 ulp of the raw g; the 16-bit store rounding
-        # dominates), and reuses the raw value exactly otherwise.
-        packed_mid = packed_A[1:-1, 1:-1, :]
-        keep_mid = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_mid, 27), 31) >= 30
-        for l in range(q):
-            src = f_pre[l][1:-1, 1:-1, :]
-            if shifted:
-                src = src - cdt(w[l])
-                new = (f_s[l] - cdt(w[l])).astype(store_dtype).astype(cdt)
-            else:
-                new = f_s[l].astype(store_dtype).astype(cdt)
-            inter[l] = jnp.where(keep_mid, src, new).astype(store_dtype)
+            # storage round trip + ring restore (both sub-steps share one
+            # explosion; A's post-stream ring outputs are garbage).  The kept
+            # branch reconstructs the stored deviation as (g + w) - w when
+            # shifted (<= 1 f32 ulp of the raw g; the 16-bit store rounding
+            # dominates), and reuses the raw value exactly otherwise.
+            packed_mid = packed_A[1:-1, 1:-1, :]
+            keep_mid = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_mid, 27), 31) >= 30
+            for l in range(q):
+                src = f_pre[l][1:-1, 1:-1, :]
+                if shifted:
+                    src = src - cdt(w[l])
+                    new = (f_s[l] - cdt(w[l])).astype(store_dtype).astype(cdt)
+                else:
+                    new = f_s[l].astype(store_dtype).astype(cdt)
+                inter[l] = jnp.where(keep_mid, src, new).astype(store_dtype)
 
-        # sub-step B on (TX+2, TY+2) -> the (TX, TY) core
-        f_mid = [
-            inter[l].astype(cdt) + cdt(w[l]) if shifted else inter[l].astype(cdt) for l in range(q)
-        ]
-        f_core = substep(f_mid, packed_mid, omega)
+            # sub-step B on (TX+2, TY+2) -> the (TX, TY) core
+            f_mid = [
+                inter[l].astype(cdt) + cdt(w[l]) if shifted else inter[l].astype(cdt) for l in range(q)
+            ]
+            f_core = substep(f_mid, packed_mid, omega)
+        else:
+            # single sub-step on the (TX+2, TY+2) view -> the (TX, TY) core
+            f_core = substep([v[1:-1, 1:-1, :] for v in f_pre], packed_A[1:-1, 1:-1, :], omega)
         for l in range(q):
             v = (f_core[l] - cdt(w[l]) if shifted else f_core[l]).astype(store_dtype)
             out[l] = v
@@ -497,8 +511,8 @@ def build_fused_cts_pair_thin(
         scratch_shapes=[
             pltpu.VMEM((q, TX + 4, TY + 4, Zl), compute_dtype),
             pltpu.VMEM((TX + 4, TY + 4, Zl), jnp.int32),
-            pltpu.VMEM((q, TX + 2, TY + 2, Zl), store_dtype),
-        ],
+        ]
+        + ([pltpu.VMEM((q, TX + 2, TY + 2, Zl), store_dtype)] if pair else []),
     )
 
     fused = pl.pallas_call(

@@ -113,7 +113,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         self._cts = None  # fused collide-then-stream kernel for the finest level
         self._cts_ring = (1, 1, 1)  # per-axis ghost-ring widths of the ext array
         self._cts_shifted = False  # deviation-form (g = f - w) storage in the kernel path
+        self._cts_coarse = None  # fused single-sub-step kernel for the coarsest level
+        self._coarse_fused_ok = None  # lazy host-side BC-placement gate
         self.active_finest_tier = "jnp"
+        self.active_coarsest_tier = "jnp"
         if mres_perf_opt == MresPerfOptimizationType.FUSION_AT_FINEST:
             fused_levels = ()
             self._build_cts_finest()
@@ -125,6 +128,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             self._build_cts_finest()
         else:
             fused_levels = ()
+        if self._cts is not None:
+            self._build_cts_coarsest()
         if fused_levels:
             self._build_fused_collides(fused_levels)
 
@@ -268,6 +273,105 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         notify_fallback(
             f"multires finest level stays on the jnp tier: no kernel tile/ring fits shape {shape}"
         )
+
+    def _build_cts_coarsest(self):
+        """Fused single-sub-step kernel for the COARSEST level.
+
+        Its full step (collide -> collision BCs -> coalesce-overwrite of
+        the refined region -> stream -> streaming BCs -> solid freeze) runs
+        in one HBM pass: the coalesced average is pre-merged into the
+        stored state, refined cells carry packed cell-type 30 (keep
+        through collide, stream normally), the kernel's modular piece
+        wrap IS the jnp tier's periodic roll, and explosion faces come
+        from the lazy per-slab collide -- so the bulk jnp collide + stream
+        chain (59% of a half-box coarse step, docs/performance.md)
+        disappears.  Host-side gate: every coarse BC voxel must lie
+        OUTSIDE the refined region (_coarse_bc_placement_ok)."""
+        import jax as _jax
+
+        from xlb_tpu.kernels.fused_step import bc_to_spec
+        from xlb_tpu.kernels.collide_then_stream import build_fused_cts_pair_thin
+
+        L = self.grid.num_levels - 1
+        if self.grid.dim != 3 or L < 1:
+            return
+        X, Y, Z = self.grid.levels[L].shape
+        interpret = _jax.default_backend() == "cpu"
+        try:
+            specs = [bc_to_spec(bc, self.velocity_set) for bc in self.boundary_conditions.get(L, [])]
+        except NotImplementedError:
+            return
+        candidates = []
+        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
+            if X % TXc:
+                continue
+            for TYc in (8, 16, 24, 32):
+                if Y % TYc:
+                    continue
+                candidates.append(((TXc + 4) * (TYc + 16) / (TXc * TYc), (TXc, TYc)))
+        for _, tile in sorted(candidates):
+            try:
+                self._cts_coarse = build_fused_cts_pair_thin(
+                    self.velocity_set,
+                    (X, Y, Z),
+                    collision=self.collision_type,
+                    bc_specs=specs,
+                    compute_dtype=self.precision_policy.compute_dtype,
+                    store_dtype=self.precision_policy.store_dtype,
+                    tile=tile,
+                    interpret=interpret,
+                    pair=False,
+                    shifted=self._cts_shifted,
+                )
+                self.active_coarsest_tier = f"cts_single tile {tile}" + (" shifted" if self._cts_shifted else "")
+                return
+            except (NotImplementedError, ValueError, AssertionError):
+                continue
+
+    def _coarse_bc_placement_ok(self):
+        """True when no coarsest-level BC voxel lies inside the refined
+        region: the fused coarse pass masks that region as cell-type 30,
+        which would silently skip a BC there (the jnp tier applies it).
+        Evaluated lazily at first step (mesh BCs get indices at
+        prepare_fields) and cached."""
+        if self._coarse_fused_ok is None:
+            L = self.grid.num_levels - 1
+            lvl_c = self.grid.levels[L - 1]
+            lo = np.asarray(lvl_c.origin_in_parent)
+            hi = lo + np.asarray(lvl_c.extent_in_parent)
+            ok = True
+            for bc in self.boundary_conditions.get(L, []):
+                if bc.indices is None:
+                    ok = False
+                    break
+                idx = np.asarray(bc.indices)  # (d, n)
+                inside = np.all((idx >= lo[:, None]) & (idx < hi[:, None]), axis=0)
+                if inside.any():
+                    ok = False
+                    break
+            if not ok:
+                from xlb_tpu.utils.tiers import notify_fallback
+
+                notify_fallback(
+                    "multires coarsest level stays on the jnp tier: a BC voxel lies "
+                    "inside the refined region (the fused pass masks it as cell-type 30)"
+                )
+            self._coarse_fused_ok = ok
+        return self._coarse_fused_ok
+
+    def _coarse_mask_packed(self, bms, mms):
+        """Packed int32 mask of the coarsest level with the refined region
+        overwritten by cell-type 30 (solid voxels keep 31: the kernel's
+        freeze matches the jnp tier's _freeze_solids)."""
+        from xlb_tpu.kernels.fused_step import pack_masks
+
+        L = self.grid.num_levels - 1
+        packed = pack_masks(bms[L], mms[L])
+        lvl_c = self.grid.levels[L - 1]
+        slc = tuple(slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent))
+        box = packed[slc]
+        solid = jax.lax.bitwise_and(jax.lax.shift_right_logical(box, 27), 31) == 31
+        return packed.at[slc].set(jnp.where(solid, box, jnp.int32(self._RING_VAL)))
 
     def _build_fused_collides(self, levels):
         import jax as _jax
@@ -548,7 +652,39 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             f = f + self._w_col()
         return f
 
-    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False):
+    def _coarse_fused_step(self, level, fs, avg, bms, mms, omega, shifted_state, mask_coarse):
+        """Finish a coarsest-level step in ONE fused pass: merge the
+        coalesced average into the stored state (skipping solid voxels --
+        the kernel's 31-freeze then restores their original populations,
+        matching _freeze_solids) and run the single-sub-step CTS kernel
+        (collide everywhere except the 30-masked refined region, stream,
+        BCs)."""
+        pp = self.precision_policy
+        lvl_c = self.grid.levels[level - 1]
+        slc = (slice(None),) + tuple(
+            slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent)
+        )
+        if self._cts_shifted:
+            avg_s = (avg - self._w_col()).astype(pp.store_dtype)
+            state_in = (
+                fs[level]
+                if shifted_state
+                else (pp.cast_to_compute(fs[level]) - self._w_col()).astype(pp.store_dtype)
+            )
+        else:
+            avg_s = avg.astype(pp.store_dtype)
+            state_in = fs[level] if fs[level].dtype == pp.store_dtype else pp.cast_to_store(fs[level])
+        solid = (bms[level][(0,) + slc[1:]] == 255)[None]
+        merged = state_in.at[slc].set(jnp.where(solid, state_in[slc], avg_s))
+        mask_c = mask_coarse if mask_coarse is not None else self._coarse_mask_packed(bms, mms)
+        out = self._cts_coarse(merged, mask_c, omega)
+        if self._cts_shifted and not shifted_state:
+            out = pp.cast_to_compute(out) + self._w_col()
+        fs = list(fs)
+        fs[level] = out
+        return fs
+
+    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False, mask_coarse=None):
         """Advance ``level`` by one of its own timesteps (recursively running
         2 sub-steps of each finer level).  ``fs`` is the per-level state list
         (current populations).  ``probe``, if given, is called as
@@ -557,7 +693,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         resident ring-extended finest state (see build_window).
         ``shifted_state``: coarse-level states live in deviation form
         g = f - w between sub-steps (16-bit windows) -- loads add the
-        weight back, stores subtract it."""
+        weight back, stores subtract it.  ``mask_coarse``: precomputed
+        packed mask for the fused coarsest pass (windows hoist it)."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         f = pp.cast_to_compute(fs[level])
@@ -565,6 +702,25 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             f = f + self._w_col()
 
         child = level - 1
+        fused_coarse = (
+            level > 0
+            and child == 0
+            and self._cts is not None
+            and self._cts_coarse is not None
+            and probe is None
+            and self._coarse_bc_placement_ok()
+        )
+        if fused_coarse:
+            faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._cts_ring)
+            fs, out2 = self._cts_fine_pair(
+                fs, bms, mms, omega_finest, None, ext_state=ext_state, mask_ext=mask_ext, faces=faces
+            )
+            if out2 is not None:
+                avg = self._avg_from_out2(out2)
+            else:
+                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
+            return self._coarse_fused_step(level, fs, avg, bms, mms, omega, shifted_state, mask_coarse)
+
         fast_full = (
             self._fully_refined_fast(level, probe)
             and child == 0
@@ -785,6 +941,11 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
 
         def run_ext(fs, bms, mms, omega_finest):
             mask_ext = self._fine_mask_ext(bms, mms)
+            mask_coarse = (
+                self._coarse_mask_packed(bms, mms)
+                if self._cts_coarse is not None and self._coarse_bc_placement_ok()
+                else None
+            )
             f0, coarse = fs[0], list(fs[1:])
             if shifted:
                 # 16-bit windows keep EVERY level's state in deviation form
@@ -801,7 +962,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             def body(i, s):
                 return self._advance(
                     L - 1, list(s), bms, mms, omega_finest, ext_state=True, mask_ext=mask_ext,
-                    shifted_state=shifted,
+                    shifted_state=shifted, mask_coarse=mask_coarse,
                 )
 
             state = jax.lax.fori_loop(0, num_coarse_steps, body, state)
