@@ -111,3 +111,41 @@ def test_fused_multires_falls_back_on_staging_bcs():
     )
     assert stepper._cts is not None  # finest has no staging BC
     assert stepper._fused_collide[1] is None  # outflow level falls back
+
+
+@pytest.mark.fast
+def test_fused_coarsest_gates_on_bc_inside_refined_region():
+    """The fused coarsest pass masks the refined region as cell-type 30,
+    which would skip a BC voxel there -- such scenes must fall back to the
+    jnp coarse path (with a tier notice) and still match the naive tier."""
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    init_env(D3Q19)
+    grid, bcs = _scene()
+    st = MultiresIncompressibleNavierStokesStepper(
+        grid, boundary_conditions=bcs, mres_perf_opt=MresPerfOptimizationType.FUSION_AT_FINEST
+    )
+    assert st._cts_coarse is not None
+    assert st._coarse_bc_placement_ok() is True  # walls/lid are outside the box
+
+    # a coarse BC voxel INSIDE the refined region -> host-side gate trips
+    boundary_condition_registry.reset()
+    grid2, bcs2 = _scene()
+    bcs2[1].append(FullwayBounceBackBC(indices=[[8], [8], [8]]))
+    st2 = MultiresIncompressibleNavierStokesStepper(
+        grid2, boundary_conditions=bcs2, mres_perf_opt=MresPerfOptimizationType.FUSION_AT_FINEST
+    )
+    with pytest.warns(RuntimeWarning, match="inside the refined region"):
+        assert st2._coarse_bc_placement_ok() is False
+
+    # physics parity of the fallback vs the naive tier
+    boundary_condition_registry.reset()
+    grid3, bcs3 = _scene()
+    bcs3[1].append(FullwayBounceBackBC(indices=[[8], [8], [8]]))
+    naive = MultiresIncompressibleNavierStokesStepper(grid3, boundary_conditions=bcs3)
+    fs, _, bms, mms = naive.prepare_fields()
+    a = naive(list(fs), bms, mms, 1.5)
+    fs2, _, bms2, mms2 = st2.prepare_fields()
+    b = st2(list(fs2), bms2, mms2, 1.5)
+    for la, lb in zip(a, b):
+        assert float(jnp.abs(la.astype(jnp.float32) - lb.astype(jnp.float32)).max()) < 5e-6
