@@ -603,8 +603,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
 
     def _explode_faces_lazy(self, level_parent, f, bms, mms, omega, child, ring):
         """Explosion face slabs computed WITHOUT a full parent collide:
-        collide just the <= 2*d parent layers the ring reads (the fully-
-        refined fast path, where the bulk collide is dead work)."""
+        collide just the <= 2*d parent layers the ring reads.  Used by the
+        fully-refined shortcut (bulk collide is dead work there) and by
+        the fused coarsest pass (the bulk collide happens in-kernel,
+        AFTER the children already consumed these faces)."""
         key = (child, tuple(ring))
         cache = getattr(self, "_ghost_gather_cache", None)
         if cache is None:
