@@ -149,3 +149,55 @@ def test_fused_coarsest_gates_on_bc_inside_refined_region():
     b = st2(list(fs2), bms2, mms2, 1.5)
     for la, lb in zip(a, b):
         assert float(jnp.abs(la.astype(jnp.float32) - lb.astype(jnp.float32)).max()) < 5e-6
+
+
+@pytest.mark.fast
+def test_fused_coarsest_three_levels_matches_naive():
+    """Deeper hierarchies fuse the coarsest pass too: the coarsest level's
+    collide+coalesce+stream runs in one kernel while the middle level stays
+    jnp, and the lazily-collided ghost faces replace the bulk-collide
+    explosion gather -- parity vs the naive tier."""
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    init_env(D3Q19)
+
+    def scene():
+        grid = MultiresGrid(
+            (24, 24, 24),
+            boxes=[((6, 6, 6), (12, 12, 12)), ((6, 6, 6), (12, 12, 12))],
+        )
+        helper = grid_factory((24, 24, 24), mesh_shape=(1, 1, 1), devices=jax.devices()[:1])
+        box = helper.bounding_box_indices()
+        box_ne = helper.bounding_box_indices(remove_edges=True)
+        walls = np.unique(
+            np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1),
+            axis=1,
+        )
+        bcs = {
+            2: [
+                FullwayBounceBackBC(indices=walls.tolist()),
+                EquilibriumBC(rho=1.0, u=(0.03, 0.0, 0.0), indices=box_ne["top"]),
+            ]
+        }
+        return grid, bcs
+
+    grid, bcs = scene()
+    naive = MultiresIncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    fs, _, bms, mms = naive.prepare_fields()
+
+    boundary_condition_registry.reset()
+    grid2, bcs2 = scene()
+    fused = MultiresIncompressibleNavierStokesStepper(
+        grid2, boundary_conditions=bcs2, mres_perf_opt=MresPerfOptimizationType.FUSION_AT_FINEST
+    )
+    assert fused._cts is not None and fused._cts_coarse is not None
+    assert fused._cts_mid[1] is not None, "the BC-less middle level should take the fused sub-step path"
+    fs2, _, bms2, mms2 = fused.prepare_fields()
+
+    a, b = list(fs), list(fs2)
+    for _ in range(2):
+        a = naive(a, bms, mms, 1.5)
+        b = fused(b, bms2, mms2, 1.5)
+    for lvl, (la, lb) in enumerate(zip(a, b)):
+        diff = float(jnp.abs(la.astype(jnp.float32) - lb.astype(jnp.float32)).max())
+        assert diff < 5e-6, f"3-level fused diverges from naive at level {lvl} by {diff}"

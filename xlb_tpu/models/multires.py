@@ -114,6 +114,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         self._cts_ring = (1, 1, 1)  # per-axis ghost-ring widths of the ext array
         self._cts_shifted = False  # deviation-form (g = f - w) storage in the kernel path
         self._cts_coarse = None  # fused single-sub-step kernel for the coarsest level
+        self._cts_mid = [None] * grid.num_levels  # fused sub-step kernels for middle levels
+        self._mid_ring = [None] * grid.num_levels
         self._coarse_fused_ok = None  # lazy host-side BC-placement gate
         self.active_finest_tier = "jnp"
         self.active_coarsest_tier = "jnp"
@@ -130,6 +132,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             fused_levels = ()
         if self._cts is not None:
             self._build_cts_coarsest()
+            self._build_cts_mid()
         if fused_levels:
             self._build_fused_collides(fused_levels)
 
@@ -327,6 +330,75 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 return
             except (NotImplementedError, ValueError, AssertionError):
                 continue
+
+    def _build_cts_mid(self):
+        """Fused single-sub-step kernels for MIDDLE levels whose child is
+        the fused finest pair (deepest middle only; deeper middles stay
+        jnp).  Each middle sub-step then runs collide + coalesce-overwrite
+        + ghost-ring stream in one pass over a ring-extended array: ring
+        cells carry packed cell-type 30 and the parent's lazily-collided
+        explosion faces land on the innermost ring layer, exactly like the
+        finest pair's ghosts.  Restricted to BC-less middle levels (BCs
+        inside a 30-masked ring/box would be silently skipped; typical
+        scenes put BCs on the coarsest walls and the finest mesh only)."""
+        import jax as _jax
+
+        from xlb_tpu.kernels.collide_then_stream import build_fused_cts_pair_thin
+
+        L = self.grid.num_levels
+        self._cts_mid = [None] * L
+        self._mid_ring = [None] * L
+        if self.grid.dim != 3 or L < 3 or self._cts is None:
+            return
+        level = 1  # the deepest middle (its child is the fused finest)
+        if self.boundary_conditions.get(level, []):
+            return
+        X, Y, Z = self.grid.levels[level].shape
+        interpret = _jax.default_backend() == "cpu"
+        gz = 1
+        candidates = []
+        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
+            gx = self._ring_for(X, TXc)
+            if gx is None:
+                continue
+            for TYc in (8, 16, 24, 32):
+                gy = self._ring_for(Y, TYc)
+                if gy is None:
+                    continue
+                area = (X + 2 * gx) * (Y + 2 * gy) / (X * Y)
+                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
+                candidates.append((area * amp, (TXc, TYc), gx, gy))
+        for _, tile, gx, gy in sorted(candidates):
+            try:
+                self._cts_mid[level] = build_fused_cts_pair_thin(
+                    self.velocity_set,
+                    (X + 2 * gx, Y + 2 * gy, Z + 2 * gz),
+                    collision=self.collision_type,
+                    bc_specs=[],
+                    compute_dtype=self.precision_policy.compute_dtype,
+                    store_dtype=self.precision_policy.store_dtype,
+                    tile=tile,
+                    interpret=interpret,
+                    pair=False,
+                    shifted=self._cts_shifted,
+                )
+                self._mid_ring[level] = (gx, gy, gz)
+                return
+            except (NotImplementedError, ValueError, AssertionError):
+                continue
+
+    def _mid_mask_ext(self, level, bms, mms):
+        """Packed mask of a middle level's ring-extended box: ring cells
+        AND the refined region carry cell-type 30 (BC-less levels only,
+        enforced by _build_cts_mid)."""
+        from xlb_tpu.kernels.fused_step import pack_masks
+
+        packed = pack_masks(bms[level], mms[level])
+        lvl_c = self.grid.levels[level - 1]
+        slc = tuple(slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent))
+        packed = packed.at[slc].set(jnp.int32(self._RING_VAL))
+        g = self._mid_ring[level]
+        return jnp.pad(packed, tuple((gi, gi) for gi in g), constant_values=self._RING_VAL)
 
     def _coarse_bc_placement_ok(self):
         """True when no coarsest-level BC voxel lies inside the refined
@@ -601,12 +673,16 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             f_pc = jnp.where(bm_s == 255, f_slab, f_pc)
         return f_pc
 
-    def _explode_faces_lazy(self, level_parent, f, bms, mms, omega, child, ring):
+    def _explode_faces_lazy(self, level_parent, f, bms, mms, omega, child, ring, for_kernel=True):
         """Explosion face slabs computed WITHOUT a full parent collide:
         collide just the <= 2*d parent layers the ring reads.  Used by the
         fully-refined shortcut (bulk collide is dead work there) and by
         the fused coarsest pass (the bulk collide happens in-kernel,
-        AFTER the children already consumed these faces)."""
+        AFTER the children already consumed these faces).
+
+        ``for_kernel=True`` emits slabs in the kernel ext's stored form
+        (deviation-shifted when the kernel is); ``False`` keeps the
+        compute dtype for the jnp ghost path."""
         key = (child, tuple(ring))
         cache = getattr(self, "_ghost_gather_cache", None)
         if cache is None:
@@ -615,7 +691,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             cache[key] = self._build_ghost_gather(child, ring)
         maps = cache[key]
         d = self.grid.dim
-        store_dtype = self.precision_policy.store_dtype
+        store_dtype = self.precision_policy.store_dtype if for_kernel else self.precision_policy.compute_dtype
         faces = []
         for axis in range(d):
             ext_len = len(maps[axis])
@@ -625,7 +701,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             for a in range(d):
                 if a != axis:
                     slab2 = jnp.take(slab2, jnp.asarray(maps[a]), axis=a + 1)
-            if self._cts_shifted:
+            if for_kernel and self._cts_shifted:
                 slab2 = slab2 - self._w_col()  # faces live in the kernel's deviation form
             slab2 = slab2.astype(store_dtype)
             for side, pos in enumerate(positions):
@@ -706,20 +782,41 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         child = level - 1
         fused_coarse = (
             level > 0
-            and child == 0
-            and self._cts is not None
             and self._cts_coarse is not None
             and probe is None
             and self._coarse_bc_placement_ok()
         )
         if fused_coarse:
-            faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._cts_ring)
-            fs, out2 = self._cts_fine_pair(
-                fs, bms, mms, omega_finest, None, ext_state=ext_state, mask_ext=mask_ext, faces=faces
-            )
-            if out2 is not None:
-                avg = self._avg_from_out2(out2)
+            if child == 0 and self._cts is not None:
+                faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._cts_ring)
+                fs, out2 = self._cts_fine_pair(
+                    fs, bms, mms, omega_finest, None, ext_state=ext_state, mask_ext=mask_ext, faces=faces
+                )
+                if out2 is not None:
+                    avg = self._avg_from_out2(out2)
+                else:
+                    avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
+            elif self._cts_mid[child] is not None:
+                # the child is a fused middle level: hand it kernel-form
+                # ring faces (its own sub-steps run in-kernel)
+                ghost_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._mid_ring[child])
+                fs = self._advance_fine_pair(
+                    child, fs, bms, mms, omega_finest, None, probe, ext_state, mask_ext, shifted_state,
+                    ghost_faces=ghost_faces,
+                )
+                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
             else:
+                # deeper hierarchies: the child ring only ever reads the
+                # innermost ghost layer, so a zeros ghost box overlaid with
+                # the lazily-collided faces replaces the full _explode
+                # gather of a bulk-collided parent
+                faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, (1,) * self.grid.dim, for_kernel=False)
+                ghost_ext = jnp.zeros(
+                    (self.velocity_set.q,) + tuple(s + 2 for s in self.grid.levels[child].shape),
+                    pp.compute_dtype,
+                )
+                ghost_ext = self._overlay_faces(ghost_ext, faces)
+                fs = self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state)
                 avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
             return self._coarse_fused_step(level, fs, avg, bms, mms, omega, shifted_state, mask_coarse)
 
@@ -774,6 +871,15 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         child = level - 1
         if child == 0 and self._cts is not None and probe is None:
             return self._cts_fine_pair(fs, bms, mms, omega_finest, f_pc, ext_state=ext_state, mask_ext=mask_ext)
+        if self._cts_mid[child] is not None and probe is None:
+            ghost_faces = self._explode_ring_faces(f_pc, child, self._mid_ring[child], self.precision_policy.store_dtype)
+            return (
+                self._advance_fine_pair(
+                    child, fs, bms, mms, omega_finest, None, probe, ext_state, mask_ext, shifted_state,
+                    ghost_faces=ghost_faces,
+                ),
+                None,
+            )
         ghost_ext = self._explode(f_pc, child)
         return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state), None
 
@@ -875,9 +981,63 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             fs[0] = f0
         return fs, out2
 
-    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None, shifted_state=False):
+    def _advance_mid_fused(self, level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state):
+        """Both sub-steps of a fused MIDDLE level: per sub-step, the child
+        (finest pair) advances against lazily-collided faces, the coalesced
+        average merges into the stored state, and one kernel pass runs
+        collide + ghost-ring stream over the ring-extended box.  The
+        parent-supplied ``ghost_faces`` (kernel form, at this level's ring
+        positions) are shared by both sub-steps -- the same zeroth-order
+        coupling as everywhere else."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
+        child = level - 1
+        g = self._mid_ring[level]
+        pads = ((0, 0),) + tuple((gi, gi) for gi in g)
+        interior = (slice(None),) + tuple(slice(gi, -gi) for gi in g)
+        mask_m = self._mid_mask_ext(level, bms, mms)
+        lvl_c = self.grid.levels[child]
+        slc = (slice(None),) + tuple(
+            slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent)
+        )
+        for _ in range(2):
+            f = pp.cast_to_compute(fs[level])
+            if shifted_state:
+                f = f + self._w_col()
+            child_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._cts_ring)
+            fs, out2 = self._cts_fine_pair(
+                fs, bms, mms, omega_finest, None, ext_state=ext_state, mask_ext=mask_ext, faces=child_faces
+            )
+            if out2 is not None:
+                avg = self._avg_from_out2(out2)
+            else:
+                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
+            # stored-form merge; this level is BC-less (enforced by
+            # _build_cts_mid), so there are no solids to skip
+            if self._cts_shifted:
+                avg_s = (avg - self._w_col()).astype(pp.store_dtype)
+                state_in = (
+                    fs[level]
+                    if shifted_state
+                    else (pp.cast_to_compute(fs[level]) - self._w_col()).astype(pp.store_dtype)
+                )
+            else:
+                avg_s = avg.astype(pp.store_dtype)
+                state_in = fs[level] if fs[level].dtype == pp.store_dtype else pp.cast_to_store(fs[level])
+            merged = state_in.at[slc].set(avg_s)
+            ext_m = self._overlay_faces(jnp.pad(merged, pads), ghost_faces)
+            out = self._cts_mid[level](ext_m, mask_m, omega)[interior]
+            if self._cts_shifted and not shifted_state:
+                out = pp.cast_to_compute(out) + self._w_col()
+            fs = list(fs)
+            fs[level] = out
+        return fs
+
+    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None, shifted_state=False, ghost_faces=None):
+        pp = self.precision_policy
+        omega = pp.compute_dtype(compute_omega(omega_finest, level))
+        if ghost_faces is not None:
+            return self._advance_mid_fused(level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state)
         for _ in range(2):
             f = pp.cast_to_compute(fs[level])
             if shifted_state and level > 0:
