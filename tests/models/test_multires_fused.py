@@ -201,3 +201,10 @@ def test_fused_coarsest_three_levels_matches_naive():
     for lvl, (la, lb) in enumerate(zip(a, b)):
         diff = float(jnp.abs(la.astype(jnp.float32) - lb.astype(jnp.float32)).max())
         assert diff < 5e-6, f"3-level fused diverges from naive at level {lvl} by {diff}"
+
+    # the resident-ring window path takes the same fused branches
+    win = fused.build_window(2, donate=False)
+    c = win(list(fs2), bms2, mms2, 1.5)
+    for lvl, (la, lc) in enumerate(zip(a, c)):
+        diff = float(jnp.abs(la.astype(jnp.float32) - lc.astype(jnp.float32)).max())
+        assert diff < 5e-6, f"3-level fused WINDOW diverges from naive at level {lvl} by {diff}"
