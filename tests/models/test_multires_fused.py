@@ -151,7 +151,6 @@ def test_fused_coarsest_gates_on_bc_inside_refined_region():
         assert float(jnp.abs(la.astype(jnp.float32) - lb.astype(jnp.float32)).max()) < 5e-6
 
 
-@pytest.mark.fast
 def test_fused_coarsest_three_levels_matches_naive():
     """Deeper hierarchies fuse the coarsest pass too: the coarsest level's
     collide+coalesce+stream runs in one kernel while the middle level stays
