@@ -1079,7 +1079,12 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         crop round trip of ``__call__`` (two full HBM copies of the largest
         array per coarse step) reduces to one pad before and one crop after
         the window, and the packed ext mask is built once.  Signature:
-        ``run(fs, bms, mms, omega_finest) -> fs``."""
+        ``run(fs, bms, mms, omega_finest) -> fs``.
+
+        16-bit policies return the states UNSHIFTED in the compute dtype
+        (re-quantizing f = g + w would erase small deviations), so the
+        SECOND call sees f32 inputs and retraces once; steady state after
+        that."""
         L = self.grid.num_levels
         donate_argnums = (0,) if donate else ()
 
