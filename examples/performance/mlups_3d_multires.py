@@ -18,9 +18,17 @@ from xlb_tpu.mres_perf_optimization_type import MresPerfOptimizationType
 
 
 def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3,
-        mres_perf="naive_collide_stream", precision="FP32FP32"):
+        mres_perf="naive_collide_stream", precision="FP32FP32", mesh_shape=None):
     xlb.init(velocity_set=D3Q19(), default_backend=xlb.ComputeBackend.JAX,
              default_precision_policy=getattr(xlb.PrecisionPolicy, precision))
+
+    mesh = None
+    if mesh_shape is not None and int(np.prod(mesh_shape)) > 1:
+        import jax
+        from jax.sharding import Mesh
+
+        px, py = mesh_shape
+        mesh = Mesh(np.array(jax.devices()[: px * py]).reshape(px, py), ("x", "y"))
 
     n = coarse_edge
     boxes = []
@@ -34,7 +42,7 @@ def run(coarse_edge=64, box_frac=0.5, levels=2, num_coarse_steps=20, reps=3,
     grid = MultiresGrid(shape, boxes=boxes)
 
     strategy = MresPerfOptimizationType.from_string(mres_perf)
-    sim = MultiresSimulationManager(grid, omega_finest=1.6, mres_perf_opt=strategy)
+    sim = MultiresSimulationManager(grid, omega_finest=1.6, mres_perf_opt=strategy, mesh=mesh)
     sim.run(num_coarse_steps, window=num_coarse_steps)  # compile the window + warm up
 
     # per-level weighted updates per coarse step: level l runs 2^(L-1-l)
@@ -68,7 +76,10 @@ if __name__ == "__main__":
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--precision", default="FP32FP32",
                         help="PrecisionPolicy name (FP32BF16 runs the deviation-form 16-bit kernel)")
+    parser.add_argument("--mesh", type=int, nargs=2, default=None, metavar=("PX", "PY"),
+                        help="device-mesh shape: shard every level over (x, y) and run the "
+                             "fused tier through shard_map kernel islands")
     args = parser.parse_args()
     run(coarse_edge=args.coarse_edge, box_frac=args.box_frac, levels=args.levels,
         num_coarse_steps=args.steps, mres_perf=args.mres_perf_optimization,
-        precision=args.precision)
+        precision=args.precision, mesh_shape=args.mesh)

@@ -14,13 +14,25 @@ from xlb_tpu.ops.macroscopic import Macroscopic
 
 
 class MultiresSimulationManager:
-    def __init__(self, grid, omega_finest, boundary_conditions=None, collision_type="BGK", initializer=None, mres_perf_opt=None):
+    def __init__(self, grid, omega_finest, boundary_conditions=None, collision_type="BGK", initializer=None, mres_perf_opt=None, mesh=None, mesh_axes=("x", "y")):
         self.grid = grid
         self.omega = float(omega_finest)
         self.stepper = MultiresIncompressibleNavierStokesStepper(
-            grid, boundary_conditions=boundary_conditions, collision_type=collision_type, mres_perf_opt=mres_perf_opt
+            grid, boundary_conditions=boundary_conditions, collision_type=collision_type,
+            mres_perf_opt=mres_perf_opt, mesh=mesh, mesh_axes=mesh_axes,
         )
         self.f_0, self.f_1, self.bc_mask, self.missing_mask = self.stepper.prepare_fields()
+        if mesh is not None:
+            # shard every level over the mesh's (x, y) axes; the jnp tier
+            # distributes via GSPMD and the fused tier via its shard_map
+            # kernel islands (parallel/multires_distribute.py)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec_axes = (None,) + tuple(mesh_axes[: grid.dim - 1]) + (None,) * max(grid.dim - 2, 0)
+            spec = NamedSharding(mesh, P(*spec_axes))
+            put = lambda arrs: [jax.device_put(a, spec) for a in arrs]
+            self.f_0, self.f_1 = put(self.f_0), put(self.f_1)
+            self.bc_mask, self.missing_mask = put(self.bc_mask), put(self.missing_mask)
         if initializer is not None:
             self.f_0 = initializer(self.f_0)
         self.iteration_idx = 0

@@ -75,6 +75,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         boundary_conditions=None,
         collision_type="BGK",
         mres_perf_opt=None,
+        mesh=None,
+        mesh_axes=("x", "y"),
         velocity_set=None,
         precision_policy=None,
         compute_backend=None,
@@ -82,6 +84,22 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         super().__init__(velocity_set, precision_policy, compute_backend)
         self.grid = grid
         self.collision_type = collision_type
+        # multi-chip: a jax.sharding.Mesh whose ``mesh_axes`` axes shard the
+        # x/y dimensions of every level.  The jnp tier needs nothing (GSPMD
+        # partitions it from the input shardings alone); the fused kernels
+        # are wrapped in shard_map islands with ppermute halo exchange
+        # (parallel/multires_distribute.py).
+        self._mesh_axes = tuple(mesh_axes)
+        self._mesh = None
+        if mesh is not None and any(mesh.shape[a] > 1 for a in self._mesh_axes):
+            if grid.dim == 3:
+                self._mesh = mesh
+            else:
+                from xlb_tpu.utils.tiers import notify_fallback
+
+                notify_fallback(
+                    "multires fused tier is 3-D only; 2-D multi-chip runs use the GSPMD jnp tier"
+                )
         common = dict(velocity_set=self.velocity_set, precision_policy=self.precision_policy, compute_backend=self.compute_backend)
         self.collision = _COLLISIONS[collision_type](**common)
         self.equilibrium = QuadraticEquilibrium(**common)
@@ -174,6 +192,13 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             specs = [bc_to_spec(bc, self.velocity_set) for bc in self.boundary_conditions.get(0, [])]
         except NotImplementedError as e:
             notify_fallback(f"multires finest level stays on the jnp tier: {e}")
+            return
+
+        # 16-bit storage runs in deviation form (g = f - w); decided here so
+        # both the single-chip and sharded branches agree
+        shifted_pref = jnp.dtype(self.precision_policy.store_dtype).itemsize < 4
+        if self._mesh is not None:
+            self._build_cts_finest_sharded(specs, shifted_pref, interpret)
             return
 
         # ---- preferred: thin-piece pair with per-axis rings --------------
@@ -277,6 +302,88 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             f"multires finest level stays on the jnp tier: no kernel tile/ring fits shape {shape}"
         )
 
+    def _build_cts_finest_sharded(self, specs, shifted, interpret):
+        """Mesh-sharded finest pair: the kernel is built for the SHARD-local
+        padded shape and wrapped in a shard_map island with depth-2
+        ppermute halo exchange (the pair is a k=2 temporal block); the
+        wrapper keeps the single-chip call signature so the rest of the
+        stepper is oblivious (parallel/multires_distribute.py).  The
+        in-kernel coalescence side output is disabled (shard pads would
+        straddle its 2x2 sums); the host-side GSPMD average runs instead."""
+        from xlb_tpu.utils.tiers import notify_fallback
+        from xlb_tpu.kernels.collide_then_stream import build_fused_cts_pair_thin
+        from xlb_tpu.parallel.multires_distribute import (
+            pad_for,
+            ring_for_sharded,
+            wrap_cts_sharded,
+        )
+
+        mesh, (ax, ay) = self._mesh, self._mesh_axes
+        px, py = mesh.shape[ax], mesh.shape[ay]
+        X, Y, Z = self.grid.levels[0].shape
+        gx = ring_for_sharded(X, px, depth=2)
+        gy = ring_for_sharded(Y, py, depth=2)
+        gz = 2  # z is unsharded (lane-resident); minimal ring as single-chip
+        if gx is None or gy is None:
+            notify_fallback(
+                f"multires finest level stays on the jnp tier: no ghost ring makes "
+                f"shape {(X, Y)} divide the ({px}, {py}) mesh"
+            )
+            return
+        Xe, Ye, Ze = X + 2 * gx, Y + 2 * gy, Z + 2 * gz
+        Xl, Yl = Xe // px, Ye // py
+        candidates = []
+        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
+            hx = pad_for(Xl, TXc, 2)
+            if hx is None:
+                continue
+            for TYc in (8, 16, 24, 32):
+                hy = pad_for(Yl, TYc, 2)
+                if hy is None:
+                    continue
+                area = (Xl + 2 * hx) * (Yl + 2 * hy) / (Xl * Yl)
+                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
+                candidates.append((area * amp, (TXc, TYc), hx, hy))
+        for _, tile, hx, hy in sorted(candidates):
+            try:
+                kern = build_fused_cts_pair_thin(
+                    self.velocity_set,
+                    (Xl + 2 * hx, Yl + 2 * hy, Ze),
+                    collision=self.collision_type,
+                    bc_specs=specs,
+                    compute_dtype=self.precision_policy.compute_dtype,
+                    store_dtype=self.precision_policy.store_dtype,
+                    tile=tile,
+                    interpret=interpret,
+                    coalesce_out=False,
+                    shifted=shifted,
+                )
+            except (NotImplementedError, ValueError):
+                continue
+            self._cts = wrap_cts_sharded(
+                kern,
+                mesh=mesh,
+                axis_names=(ax, ay),
+                q=self.velocity_set.q,
+                global_shape=(Xe, Ye, Ze),
+                pads=(hx, hy),
+                depth=2,
+                shifted=shifted,
+                weights=self.velocity_set._w,
+            )
+            self._cts_ring = (gx, gy, gz)
+            self._cts_has_coalesce = False
+            self._cts_shifted = shifted
+            self.active_finest_tier = (
+                f"cts_pair_thin[shard_map ({px},{py})] tile {tile} "
+                f"ring {self._cts_ring} pad {(hx, hy)}" + (" shifted" if shifted else "")
+            )
+            return
+        notify_fallback(
+            f"multires finest level stays on the jnp tier: no sharded kernel tile "
+            f"fits the local shard {(Xl, Yl)}"
+        )
+
     def _build_cts_coarsest(self):
         """Fused single-sub-step kernel for the COARSEST level.
 
@@ -304,6 +411,11 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             specs = [bc_to_spec(bc, self.velocity_set) for bc in self.boundary_conditions.get(L, [])]
         except NotImplementedError:
             return
+
+        if self._mesh is not None:
+            self._build_cts_coarsest_sharded(specs, (X, Y, Z), interpret)
+            return
+
         candidates = []
         for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
             if X % TXc:
@@ -331,6 +443,64 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             except (NotImplementedError, ValueError, AssertionError):
                 continue
 
+    def _build_cts_coarsest_sharded(self, specs, shape, interpret):
+        """Mesh-sharded coarsest single-sub-step kernel (depth-1 pulls):
+        the periodic ppermute exchange realizes the global periodic
+        streaming the single-chip kernel gets from its modular piece wrap."""
+        from xlb_tpu.kernels.collide_then_stream import build_fused_cts_pair_thin
+        from xlb_tpu.parallel.multires_distribute import pad_for, wrap_cts_sharded
+
+        mesh, (ax, ay) = self._mesh, self._mesh_axes
+        px, py = mesh.shape[ax], mesh.shape[ay]
+        X, Y, Z = shape
+        if X % px or Y % py:
+            return
+        Xl, Yl = X // px, Y // py
+        candidates = []
+        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
+            hx = pad_for(Xl, TXc, 1)
+            if hx is None:
+                continue
+            for TYc in (8, 16, 24, 32):
+                hy = pad_for(Yl, TYc, 1)
+                if hy is None:
+                    continue
+                area = (Xl + 2 * hx) * (Yl + 2 * hy) / (Xl * Yl)
+                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
+                candidates.append((area * amp, (TXc, TYc), hx, hy))
+        for _, tile, hx, hy in sorted(candidates):
+            try:
+                kern = build_fused_cts_pair_thin(
+                    self.velocity_set,
+                    (Xl + 2 * hx, Yl + 2 * hy, Z),
+                    collision=self.collision_type,
+                    bc_specs=specs,
+                    compute_dtype=self.precision_policy.compute_dtype,
+                    store_dtype=self.precision_policy.store_dtype,
+                    tile=tile,
+                    interpret=interpret,
+                    pair=False,
+                    shifted=self._cts_shifted,
+                )
+            except (NotImplementedError, ValueError, AssertionError):
+                continue
+            self._cts_coarse = wrap_cts_sharded(
+                kern,
+                mesh=mesh,
+                axis_names=(ax, ay),
+                q=self.velocity_set.q,
+                global_shape=(X, Y, Z),
+                pads=(hx, hy),
+                depth=1,
+                shifted=self._cts_shifted,
+                weights=self.velocity_set._w,
+            )
+            self.active_coarsest_tier = (
+                f"cts_single[shard_map ({px},{py})] tile {tile} pad {(hx, hy)}"
+                + (" shifted" if self._cts_shifted else "")
+            )
+            return
+
     def _build_cts_mid(self):
         """Fused single-sub-step kernels for MIDDLE levels whose child is
         the fused finest pair (deepest middle only; deeper middles stay
@@ -355,6 +525,9 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             return
         X, Y, Z = self.grid.levels[level].shape
         interpret = _jax.default_backend() == "cpu"
+        if self._mesh is not None:
+            self._build_cts_mid_sharded(level, (X, Y, Z), interpret)
+            return
         gz = 1
         candidates = []
         for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
@@ -386,6 +559,68 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 return
             except (NotImplementedError, ValueError, AssertionError):
                 continue
+
+    def _build_cts_mid_sharded(self, level, shape, interpret):
+        """Mesh-sharded middle-level single-sub-step kernel: ring-extended
+        box sharded over (x, y), depth-1 ppermute exchange in the island."""
+        from xlb_tpu.kernels.collide_then_stream import build_fused_cts_pair_thin
+        from xlb_tpu.parallel.multires_distribute import (
+            pad_for,
+            ring_for_sharded,
+            wrap_cts_sharded,
+        )
+
+        mesh, (ax, ay) = self._mesh, self._mesh_axes
+        px, py = mesh.shape[ax], mesh.shape[ay]
+        X, Y, Z = shape
+        gx = ring_for_sharded(X, px, depth=1)
+        gy = ring_for_sharded(Y, py, depth=1)
+        gz = 1
+        if gx is None or gy is None:
+            return
+        Xe, Ye, Ze = X + 2 * gx, Y + 2 * gy, Z + 2 * gz
+        Xl, Yl = Xe // px, Ye // py
+        candidates = []
+        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
+            hx = pad_for(Xl, TXc, 1)
+            if hx is None:
+                continue
+            for TYc in (8, 16, 24, 32):
+                hy = pad_for(Yl, TYc, 1)
+                if hy is None:
+                    continue
+                area = (Xl + 2 * hx) * (Yl + 2 * hy) / (Xl * Yl)
+                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
+                candidates.append((area * amp, (TXc, TYc), hx, hy))
+        for _, tile, hx, hy in sorted(candidates):
+            try:
+                kern = build_fused_cts_pair_thin(
+                    self.velocity_set,
+                    (Xl + 2 * hx, Yl + 2 * hy, Ze),
+                    collision=self.collision_type,
+                    bc_specs=[],
+                    compute_dtype=self.precision_policy.compute_dtype,
+                    store_dtype=self.precision_policy.store_dtype,
+                    tile=tile,
+                    interpret=interpret,
+                    pair=False,
+                    shifted=self._cts_shifted,
+                )
+            except (NotImplementedError, ValueError, AssertionError):
+                continue
+            self._cts_mid[level] = wrap_cts_sharded(
+                kern,
+                mesh=mesh,
+                axis_names=(ax, ay),
+                q=self.velocity_set.q,
+                global_shape=(Xe, Ye, Ze),
+                pads=(hx, hy),
+                depth=1,
+                shifted=self._cts_shifted,
+                weights=self.velocity_set._w,
+            )
+            self._mid_ring[level] = (gx, gy, gz)
+            return
 
     def _mid_mask_ext(self, level, bms, mms):
         """Packed mask of a middle level's ring-extended box: ring cells
