@@ -130,6 +130,15 @@ def test_autodiff_lbm():
     assert l1 < l0
 
 
+def test_multires_flow_past_sphere_distributed():
+    """Fused multires tier on the (4,2) virtual mesh through the example
+    surface (shard_map kernel islands + GSPMD coupling)."""
+    umax = _load("cfd/multires_flow_past_sphere_3d_distributed.py").run(
+        coarse=(32, 16, 16), num_coarse_steps=10, mesh_shape=(4, 2)
+    )
+    assert np.isfinite(umax)
+
+
 def test_multires_flow_past_sphere():
     u_f, u_c = _load("cfd/multires_flow_past_sphere_3d.py").run(coarse_n=(32, 16, 16), coarse_steps=15)
     assert np.isfinite(u_f).all() and np.isfinite(u_c).all()
