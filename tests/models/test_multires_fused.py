@@ -150,6 +150,18 @@ def test_fused_coarsest_gates_on_bc_inside_refined_region():
     for la, lb in zip(a, b):
         assert float(jnp.abs(la.astype(jnp.float32) - lb.astype(jnp.float32)).max()) < 5e-6
 
+    # a needs_padding BC (halfway) is TAGGED at its one-hop dilated shell
+    # (pad_indices): solid voxels just OUTSIDE the refined box whose shell
+    # reaches inside must also trip the gate
+    boundary_condition_registry.reset()
+    grid4, bcs4 = _scene()
+    bcs4[1].append(HalfwayBounceBackBC(indices=[[3], [8], [8]]))  # shell hits x=4 in [4,12)
+    st4 = MultiresIncompressibleNavierStokesStepper(
+        grid4, boundary_conditions=bcs4, mres_perf_opt=MresPerfOptimizationType.FUSION_AT_FINEST
+    )
+    with pytest.warns(RuntimeWarning, match="inside the refined region"):
+        assert st4._coarse_bc_placement_ok() is False
+
 
 def test_fused_coarsest_three_levels_matches_naive():
     """Deeper hierarchies fuse the coarsest pass too: the coarsest level's

@@ -190,6 +190,13 @@ def stepper_force_vector(stepper):
     return None if fv is None else np.asarray(fv, dtype=np.float64)
 
 
+# packed cell-type 30 (SFV/ghost keep-out) in bits 27..31 of an int32, as a
+# Python int with int32 wraparound applied -- the canonical constant for
+# every ring/refined-region overwrite (models/multires.py, parallel/
+# multires_distribute.py use this; keep in sync with pack_masks below)
+RING_VAL = int(np.int64(30 << 27) - (1 << 32))
+
+
 def pack_masks(bc_mask, missing_mask):
     """(bc_mask uint8 (1,*s), missing bool (q,*s)) -> one int32 (*s).
 

@@ -58,6 +58,32 @@ def compute_omega(omega_finest, level):
     return 2.0 ** (level + 1) * w0 / ((2.0**level - 1.0) * w0 + 2.0)
 
 
+_TILE_XS = (8, 10, 12, 14, 16, 20, 24, 28, 32)
+_TILE_YS = (8, 16, 24, 32)
+
+
+def _rank_tiles(fx, fy):
+    """Rank (tile, aux_x, aux_y) kernel-tile candidates by modeled HBM
+    traffic: ring/pad area inflation x the thin-piece fetch's per-tile read
+    amplification ((TX+4)(TY+16)/(TX*TY)).  ``fx(TX)``/``fy(TY)`` return
+    ``(aux, area)`` -- aux is the builder's ring or pad width (None where
+    unused), area the extended-over-base extent ratio -- or None when no
+    ring/pad fits that tile.  Shared by every CTS kernel builder so the
+    tile set and cost model stay in one place."""
+    cands = []
+    for TX in _TILE_XS:
+        rx = fx(TX)
+        if rx is None:
+            continue
+        for TY in _TILE_YS:
+            ry = fy(TY)
+            if ry is None:
+                continue
+            amp = (TX + 4) * (TY + 16) / (TX * TY)
+            cands.append((rx[1] * ry[1] * amp, (TX, TY), rx[0], ry[0]))
+    return [(t, ax, ay) for _, t, ax, ay in sorted(cands, key=lambda c: c[0])]
+
+
 class MultiresIncompressibleNavierStokesStepper(Operator):
     """Dense multi-level LBM stepper.
 
@@ -207,18 +233,9 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         # amplification.  A slightly odd TX that makes the ring collapse to
         # 2 (e.g. TX=20 for X=96 -> Xe=100) beats a power of two with a
         # fat alignment ring.
-        candidates = []
-        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
-            gx = self._ring_for(X, TXc)
-            if gx is None:
-                continue
-            for TYc in (8, 16, 24, 32):
-                gy = self._ring_for(Y, TYc)
-                if gy is None:
-                    continue
-                area = (X + 2 * gx) * (Y + 2 * gy) / (X * Y)
-                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
-                candidates.append((area * amp, (TXc, TYc), gx, gy))
+        fx = lambda TX: None if (g := self._ring_for(X, TX)) is None else (g, (X + 2 * g) / X)
+        fy = lambda TY: None if (g := self._ring_for(Y, TY)) is None else (g, (Y + 2 * g) / Y)
+        candidates = _rank_tiles(fx, fy)
         # z ring stays minimal: a 128-aligned lane extent (gz = (-Z mod 128)/2)
         # was measured SLOWER end to end (753 -> 310 MLUPS on 192^3/96^3) --
         # the larger logical Zl inflates the kernel's VMEM working-set
@@ -228,8 +245,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         # 16-bit storage runs in deviation form (g = f - w): same
         # well-conditioning trick as the single-res kernels, at half the
         # pair kernel's HBM traffic (docs/performance.md)
-        shifted = jnp.dtype(self.precision_policy.store_dtype).itemsize < 4
-        for _, tile, gx, gy in sorted(candidates):
+        shifted = shifted_pref
+        for tile, gx, gy in candidates:
             ext_shape = (X + 2 * gx, Y + 2 * gy, Z + 2 * gz)
             # in-kernel 2x2 x/y coalescence needs even rings (fine-cell
             # pairs aligned to ext pairs) and either f32 storage (sum
@@ -332,19 +349,9 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             return
         Xe, Ye, Ze = X + 2 * gx, Y + 2 * gy, Z + 2 * gz
         Xl, Yl = Xe // px, Ye // py
-        candidates = []
-        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
-            hx = pad_for(Xl, TXc, 2)
-            if hx is None:
-                continue
-            for TYc in (8, 16, 24, 32):
-                hy = pad_for(Yl, TYc, 2)
-                if hy is None:
-                    continue
-                area = (Xl + 2 * hx) * (Yl + 2 * hy) / (Xl * Yl)
-                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
-                candidates.append((area * amp, (TXc, TYc), hx, hy))
-        for _, tile, hx, hy in sorted(candidates):
+        fx = lambda TX: None if (h := pad_for(Xl, TX, 2)) is None else (h, (Xl + 2 * h) / Xl)
+        fy = lambda TY: None if (h := pad_for(Yl, TY, 2)) is None else (h, (Yl + 2 * h) / Yl)
+        for tile, hx, hy in _rank_tiles(fx, fy):
             try:
                 kern = build_fused_cts_pair_thin(
                     self.velocity_set,
@@ -416,15 +423,9 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             self._build_cts_coarsest_sharded(specs, (X, Y, Z), interpret)
             return
 
-        candidates = []
-        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
-            if X % TXc:
-                continue
-            for TYc in (8, 16, 24, 32):
-                if Y % TYc:
-                    continue
-                candidates.append(((TXc + 4) * (TYc + 16) / (TXc * TYc), (TXc, TYc)))
-        for _, tile in sorted(candidates):
+        fx = lambda TX: None if X % TX else (None, 1.0)
+        fy = lambda TY: None if Y % TY else (None, 1.0)
+        for tile, _, _ in _rank_tiles(fx, fy):
             try:
                 self._cts_coarse = build_fused_cts_pair_thin(
                     self.velocity_set,
@@ -442,6 +443,11 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 return
             except (NotImplementedError, ValueError, AssertionError):
                 continue
+        from xlb_tpu.utils.tiers import notify_fallback
+
+        notify_fallback(
+            f"multires coarsest level stays on the jnp tier: no kernel tile fits shape {(X, Y, Z)}"
+        )
 
     def _build_cts_coarsest_sharded(self, specs, shape, interpret):
         """Mesh-sharded coarsest single-sub-step kernel (depth-1 pulls):
@@ -450,25 +456,21 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         from xlb_tpu.kernels.collide_then_stream import build_fused_cts_pair_thin
         from xlb_tpu.parallel.multires_distribute import pad_for, wrap_cts_sharded
 
+        from xlb_tpu.utils.tiers import notify_fallback
+
         mesh, (ax, ay) = self._mesh, self._mesh_axes
         px, py = mesh.shape[ax], mesh.shape[ay]
         X, Y, Z = shape
         if X % px or Y % py:
+            notify_fallback(
+                f"multires coarsest level stays on the jnp tier: shape {(X, Y)} does not "
+                f"divide the ({px}, {py}) mesh"
+            )
             return
         Xl, Yl = X // px, Y // py
-        candidates = []
-        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
-            hx = pad_for(Xl, TXc, 1)
-            if hx is None:
-                continue
-            for TYc in (8, 16, 24, 32):
-                hy = pad_for(Yl, TYc, 1)
-                if hy is None:
-                    continue
-                area = (Xl + 2 * hx) * (Yl + 2 * hy) / (Xl * Yl)
-                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
-                candidates.append((area * amp, (TXc, TYc), hx, hy))
-        for _, tile, hx, hy in sorted(candidates):
+        fx = lambda TX: None if (h := pad_for(Xl, TX, 1)) is None else (h, (Xl + 2 * h) / Xl)
+        fy = lambda TY: None if (h := pad_for(Yl, TY, 1)) is None else (h, (Yl + 2 * h) / Yl)
+        for tile, hx, hy in _rank_tiles(fx, fy):
             try:
                 kern = build_fused_cts_pair_thin(
                     self.velocity_set,
@@ -500,6 +502,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 + (" shifted" if self._cts_shifted else "")
             )
             return
+        notify_fallback(
+            f"multires coarsest level stays on the jnp tier: no sharded kernel tile "
+            f"fits the local shard {(Xl, Yl)}"
+        )
 
     def _build_cts_mid(self):
         """Fused single-sub-step kernels for MIDDLE levels whose child is
@@ -529,19 +535,9 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             self._build_cts_mid_sharded(level, (X, Y, Z), interpret)
             return
         gz = 1
-        candidates = []
-        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
-            gx = self._ring_for(X, TXc)
-            if gx is None:
-                continue
-            for TYc in (8, 16, 24, 32):
-                gy = self._ring_for(Y, TYc)
-                if gy is None:
-                    continue
-                area = (X + 2 * gx) * (Y + 2 * gy) / (X * Y)
-                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
-                candidates.append((area * amp, (TXc, TYc), gx, gy))
-        for _, tile, gx, gy in sorted(candidates):
+        fx = lambda TX: None if (g := self._ring_for(X, TX)) is None else (g, (X + 2 * g) / X)
+        fy = lambda TY: None if (g := self._ring_for(Y, TY)) is None else (g, (Y + 2 * g) / Y)
+        for tile, gx, gy in _rank_tiles(fx, fy):
             try:
                 self._cts_mid[level] = build_fused_cts_pair_thin(
                     self.velocity_set,
@@ -580,19 +576,9 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             return
         Xe, Ye, Ze = X + 2 * gx, Y + 2 * gy, Z + 2 * gz
         Xl, Yl = Xe // px, Ye // py
-        candidates = []
-        for TXc in (8, 10, 12, 14, 16, 20, 24, 28, 32):
-            hx = pad_for(Xl, TXc, 1)
-            if hx is None:
-                continue
-            for TYc in (8, 16, 24, 32):
-                hy = pad_for(Yl, TYc, 1)
-                if hy is None:
-                    continue
-                area = (Xl + 2 * hx) * (Yl + 2 * hy) / (Xl * Yl)
-                amp = (TXc + 4) * (TYc + 16) / (TXc * TYc)
-                candidates.append((area * amp, (TXc, TYc), hx, hy))
-        for _, tile, hx, hy in sorted(candidates):
+        fx = lambda TX: None if (h := pad_for(Xl, TX, 1)) is None else (h, (Xl + 2 * h) / Xl)
+        fy = lambda TY: None if (h := pad_for(Yl, TY, 1)) is None else (h, (Yl + 2 * h) / Yl)
+        for tile, hx, hy in _rank_tiles(fx, fy):
             try:
                 kern = build_fused_cts_pair_thin(
                     self.velocity_set,
@@ -651,7 +637,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 if bc.indices is None:
                     ok = False
                     break
-                idx = np.asarray(bc.indices)  # (d, n)
+                # the masker tags needs_padding BCs at the DILATED shell
+                # (pad_indices, one stencil hop) -- test the voxels that
+                # actually carry the BC id, not just bc.indices
+                idx = np.asarray(bc.pad_indices())  # (d, n)
                 inside = np.all((idx >= lo[:, None]) & (idx < hi[:, None]), axis=0)
                 if inside.any():
                     ok = False
@@ -997,7 +986,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         fs[level] = out
         return fs
 
-    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False, mask_coarse=None):
+    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False, mask_coarse=None, mask_mid=None):
         """Advance ``level`` by one of its own timesteps (recursively running
         2 sub-steps of each finer level).  ``fs`` is the per-level state list
         (current populations).  ``probe``, if given, is called as
@@ -1037,7 +1026,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 ghost_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._mid_ring[child])
                 fs = self._advance_fine_pair(
                     child, fs, bms, mms, omega_finest, None, probe, ext_state, mask_ext, shifted_state,
-                    ghost_faces=ghost_faces,
+                    ghost_faces=ghost_faces, mask_mid=mask_mid,
                 )
                 avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
             else:
@@ -1051,7 +1040,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                     pp.compute_dtype,
                 )
                 ghost_ext = self._overlay_faces(ghost_ext, faces)
-                fs = self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state)
+                fs = self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state, mask_mid=mask_mid)
                 avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
             return self._coarse_fused_step(level, fs, avg, bms, mms, omega, shifted_state, mask_coarse)
 
@@ -1076,7 +1065,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
 
         if level > 0 and not fast_full:
             # two fine sub-steps against this level's post-collision state
-            fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state)
+            fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state, mask_mid)
             # pull coalesced fine state into the refined region before streaming
             if out2 is not None:
                 avg = self._avg_from_out2(out2)
@@ -1099,7 +1088,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         fs[level] = pp.cast_to_store(f_ps)
         return fs
 
-    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe, ext_state=False, mask_ext=None, shifted_state=False):
+    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe, ext_state=False, mask_ext=None, shifted_state=False, mask_mid=None):
         """Run the two sub-steps of ``level - 1`` against this level's
         post-collision state, through the fused finest path when active
         (the force probe needs the jnp path's intermediate states)."""
@@ -1111,12 +1100,12 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             return (
                 self._advance_fine_pair(
                     child, fs, bms, mms, omega_finest, None, probe, ext_state, mask_ext, shifted_state,
-                    ghost_faces=ghost_faces,
+                    ghost_faces=ghost_faces, mask_mid=mask_mid,
                 ),
                 None,
             )
         ghost_ext = self._explode(f_pc, child)
-        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state), None
+        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state, mask_mid=mask_mid), None
 
     def _explode_ring_faces(self, parent_pc, level, ring, store_dtype):
         """Gather only the INNERMOST ghost-ring layer (the only ring cells
@@ -1147,7 +1136,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 faces.append((tuple(idx), slab.astype(store_dtype)))
         return faces
 
-    _RING_VAL = int(np.int64(30 << 27) - (1 << 32))  # id 30 in bits 27..31 of an int32
+    from xlb_tpu.kernels.fused_step import RING_VAL as _RING_VAL  # id 30 in bits 27..31
 
     def _overlay_faces(self, ext, faces):
         """Write the ring face slabs into the extended array as ONE fused
@@ -1216,7 +1205,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             fs[0] = f0
         return fs, out2
 
-    def _advance_mid_fused(self, level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state):
+    def _advance_mid_fused(self, level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state, mask_mid=None):
         """Both sub-steps of a fused MIDDLE level: per sub-step, the child
         (finest pair) advances against lazily-collided faces, the coalesced
         average merges into the stored state, and one kernel pass runs
@@ -1230,7 +1219,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         g = self._mid_ring[level]
         pads = ((0, 0),) + tuple((gi, gi) for gi in g)
         interior = (slice(None),) + tuple(slice(gi, -gi) for gi in g)
-        mask_m = self._mid_mask_ext(level, bms, mms)
+        mask_m = mask_mid if mask_mid is not None else self._mid_mask_ext(level, bms, mms)
         lvl_c = self.grid.levels[child]
         slc = (slice(None),) + tuple(
             slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent)
@@ -1268,11 +1257,11 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             fs[level] = out
         return fs
 
-    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None, shifted_state=False, ghost_faces=None):
+    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None, shifted_state=False, ghost_faces=None, mask_mid=None):
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         if ghost_faces is not None:
-            return self._advance_mid_fused(level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state)
+            return self._advance_mid_fused(level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state, mask_mid)
         for _ in range(2):
             f = pp.cast_to_compute(fs[level])
             if shifted_state and level > 0:
@@ -1280,7 +1269,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
             f_pc = self._freeze_solids(level, f, f_pc, bms)
             if level > 0:
-                fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state)
+                fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state, mask_mid)
                 if out2 is not None:
                     avg = self._avg_from_out2(out2)
                     lvl_c = self.grid.levels[level - 1]
@@ -1348,6 +1337,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 if self._cts_coarse is not None and self._coarse_bc_placement_ok()
                 else None
             )
+            # hoist the fused middle level's ring-extended mask too (like
+            # mask_ext/mask_coarse): it is loop-invariant, and rebuilding it
+            # per coarse step costs a full-array pack+pad pass
+            mask_mid = self._mid_mask_ext(1, bms, mms) if self._cts_mid[1] is not None else None
             f0, coarse = fs[0], list(fs[1:])
             if shifted:
                 # 16-bit windows keep EVERY level's state in deviation form
@@ -1364,7 +1357,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             def body(i, s):
                 return self._advance(
                     L - 1, list(s), bms, mms, omega_finest, ext_state=True, mask_ext=mask_ext,
-                    shifted_state=shifted, mask_coarse=mask_coarse,
+                    shifted_state=shifted, mask_coarse=mask_coarse, mask_mid=mask_mid,
                 )
 
             state = jax.lax.fori_loop(0, num_coarse_steps, body, state)

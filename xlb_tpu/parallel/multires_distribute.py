@@ -44,14 +44,8 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-# packed cell-type 30 (ghost/keep-out) in bits 27..31 of an int32
-_RING_VAL = int(np.int64(30 << 27) - (1 << 32))
-
-
-def _ring_perms(n):
-    fwd = [(i, (i + 1) % n) for i in range(n)]
-    bwd = [((i + 1) % n, i) for i in range(n)]
-    return fwd, bwd
+from xlb_tpu.kernels.fused_step import RING_VAL as _RING_VAL
+from xlb_tpu.parallel.pallas_distribute import _ring_perms
 
 
 def pad_for(extent_local, tile, depth):
