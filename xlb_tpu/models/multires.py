@@ -1295,7 +1295,74 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         updated per-level population list."""
         return self._advance(self.grid.num_levels - 1, list(fs), bms, mms, omega_finest)
 
-    def build_window(self, num_coarse_steps, donate=True):
+    def _jnp_twin(self):
+        """A NAIVE-strategy twin sharing this stepper's grid/BCs/policy:
+        the pure-jnp oracle used as the backward path of differentiable
+        windows (pallas_call has no built-in VJP).  Shares the BC objects,
+        so no registry interaction; built lazily, no kernels."""
+        if getattr(self, "_jnp_twin_cache", None) is None:
+            from xlb_tpu.mres_perf_optimization_type import MresPerfOptimizationType
+
+            self._jnp_twin_cache = MultiresIncompressibleNavierStokesStepper(
+                self.grid,
+                boundary_conditions=self.boundary_conditions,
+                collision_type=self.collision_type,
+                mres_perf_opt=MresPerfOptimizationType.NAIVE_COLLIDE_STREAM,
+                velocity_set=self.velocity_set,
+                precision_policy=self.precision_policy,
+                compute_backend=self.compute_backend,
+            )
+        return self._jnp_twin_cache
+
+    def _build_diff_window(self, num_coarse_steps, fused_core):
+        """Differentiable window: the FUSED tier runs the forward pass, a
+        per-coarse-step-checkpointed jnp-tier scan supplies the backward
+        (the multires analogue of the single-res fused windows' custom_vjp;
+        the backward linearizes at the jnp tier's trajectory, which matches
+        the fused forward to f32 roundoff -- tests/models/test_autodiff.py
+        pins the gradient agreement).  f32 storage only: 16-bit windows
+        return compute-dtype states whose cotangent structure the jnp twin
+        cannot mirror."""
+        if jnp.dtype(self.precision_policy.store_dtype).itemsize < 4:
+            raise NotImplementedError(
+                "differentiable multires windows need FP32FP32 storage "
+                "(16-bit windows change the output dtype at the boundary)"
+            )
+        L = self.grid.num_levels
+        twin = self._jnp_twin()
+
+        def jnp_window(fs_t, bms, mms, omega):
+            body = jax.checkpoint(
+                lambda s, _: (tuple(twin._advance(L - 1, list(s), bms, mms, omega)), None)
+            )
+            out, _ = jax.lax.scan(body, tuple(fs_t), None, length=num_coarse_steps)
+            return out
+
+        if fused_core is None:
+            # no fused kernels: the jnp scan IS the window, natively
+            # differentiable (fori_loop would not reverse-differentiate)
+            return jax.jit(lambda fs, bms, mms, omega: list(jnp_window(tuple(fs), bms, mms, omega)))
+
+        @jax.custom_vjp
+        def run(fs, bms, mms, omega):
+            return tuple(fused_core(list(fs), bms, mms, omega))
+
+        def fwd(fs, bms, mms, omega):
+            return run(fs, bms, mms, omega), (fs, bms, mms, omega)
+
+        def bwd(res, ct):
+            fs, bms, mms, omega = res
+            _, vjp = jax.vjp(lambda fs_t, om: jnp_window(fs_t, bms, mms, om), tuple(fs), omega)
+            d_fs, d_om = vjp(tuple(ct))
+            zeros = lambda arrs: type(arrs)(np.zeros(a.shape, jax.dtypes.float0) for a in arrs)
+            return tuple(d_fs), zeros(tuple(bms)), zeros(tuple(mms)), d_om
+
+        run.defvjp(fwd, bwd)
+        return jax.jit(
+            lambda fs, bms, mms, omega: list(run(tuple(fs), tuple(bms), tuple(mms), omega))
+        )
+
+    def build_window(self, num_coarse_steps, donate=True, differentiable=False):
         """A jitted ``num_coarse_steps``-coarse-step advance -- ONE dispatch.
 
         When the fused finest pair is active, the finest level's state stays
@@ -1313,6 +1380,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         donate_argnums = (0,) if donate else ()
 
         if self._cts is None or L < 2:
+            if differentiable:
+                return self._build_diff_window(num_coarse_steps, None)
 
             def run_plain(fs, bms, mms, omega_finest):
                 return jax.lax.fori_loop(
@@ -1368,6 +1437,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 coarse_out = [pp.cast_to_compute(sv) + wcol for sv in coarse_out]
             return [f0_out] + coarse_out
 
+        if differentiable:
+            return self._build_diff_window(num_coarse_steps, run_ext)
         return jax.jit(run_ext, donate_argnums=donate_argnums)
 
     def step_with_force(self, fs, bms, mms, omega_finest, momentum_transfer):
