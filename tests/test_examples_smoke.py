@@ -130,6 +130,17 @@ def test_autodiff_lbm():
     assert l1 < l0
 
 
+def test_multiphase_droplet_laplace():
+    """Shan-Chen droplet sweep: Laplace law dp = sigma/R holds across
+    radii (beyond-reference capability)."""
+    sigma, resid, results = _load("cfd/multiphase_droplet_2d.py").run(
+        n=64, radii=(9.0, 13.0), num_steps=600
+    )
+    assert sigma > 0.0 and resid < 0.1
+    for _, dp, umax, rmin, rmax in results:
+        assert dp > 0.0 and umax < 0.05 and rmax > 1.5 and rmin < 0.35
+
+
 def test_multires_flow_past_sphere_distributed():
     """Fused multires tier on the (4,2) virtual mesh through the example
     surface (shard_map kernel islands + GSPMD coupling)."""

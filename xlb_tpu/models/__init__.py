@@ -6,12 +6,14 @@ from xlb_tpu.models.ade import (
     omega_from_diffusivity,
     diffusivity_from_omega,
 )
+from xlb_tpu.models.multiphase import ShanChenMultiphaseStepper
 
 __all__ = [
     "Stepper",
     "IncompressibleNavierStokesStepper",
     "AdvectionDiffusionStepper",
     "ThermalNSEStepper",
+    "ShanChenMultiphaseStepper",
     "omega_from_diffusivity",
     "diffusivity_from_omega",
 ]
