@@ -156,3 +156,27 @@ def test_wettability_contact_angle_sign():
         assert np.isfinite(rho).all()
         contact[name] = int((rho[:, 1] > 1.0).sum())  # liquid cells touching the wall
     assert contact["wetting"] > contact["nonwetting"], contact
+
+def test_phase_separation_3d():
+    """The interaction force is dimension-generic: a 3-D D3Q19 fluid at
+    G = -5 separates and conserves mass like the 2-D cases."""
+    from xlb_tpu.velocity_set import D3Q19
+
+    init_env(D3Q19)
+    n = 24
+    grid = grid_factory((n, n, n))
+    nse = IncompressibleNavierStokesStepper(grid, boundary_conditions=())
+    sc = ShanChenMultiphaseStepper(nse, G=-5.0)
+    rng = np.random.default_rng(11)
+    rho0 = 0.7 * (1.0 + 0.02 * rng.standard_normal((n, n, n)))
+    w = np.asarray(nse.velocity_set._w, np.float32).reshape(-1, 1, 1, 1)
+    f0 = jnp.asarray(w * rho0[None].astype(np.float32))
+    f1 = jnp.zeros_like(f0)
+    _, _, bm, mm = nse.prepare_fields()
+    run = sc.build_multi_step(150)
+    fa, fb = run(f0, f1, bm, mm, 1.0)
+    fa, fb = run(fa, fb, bm, mm, 1.0)
+    rho = np.asarray(jnp.sum(fa.astype(jnp.float32), axis=0))
+    assert np.isfinite(rho).all()
+    assert rho.max() > 1.4 and rho.min() < 0.4, (rho.min(), rho.max())
+    np.testing.assert_allclose(rho.sum(), rho0.sum(), rtol=1e-5)
