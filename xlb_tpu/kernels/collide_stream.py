@@ -196,12 +196,23 @@ def _build_kernel_body(
         return rho, mom
 
     def equilibrium(rho, u):
+        # pair-shared Hermite form: for a direction l and its opposite o,
+        # w_l == w_o and c_o = -c_l, so with cu3 = 3 c_l.u the quadratic
+        # feq = rho w (1 + cu3 (1 + cu3/2) - 1.5 u^2) splits into a shared
+        # even part t = (1 - 1.5u^2) + cu3^2/2 and the odd +-cu3 term:
+        #   feq_l = rho w (t + cu3),  feq_o = rho w (t - cu3)
+        # -- one cu dot product, one square, and one rho*w per PAIR instead
+        # of per direction (~45% fewer VPU flops in this, the hottest,
+        # closure; parity with the per-direction jnp tier is reassociation
+        # only, covered by the 1e-6-rtol fused-vs-jnp tests)
         usqr = u[0] * u[0]
         for a in range(1, d):
             usqr = usqr + u[a] * u[a]
-        usqr = 1.5 * usqr
-        feq = []
+        base = 1.0 - 1.5 * usqr
+        feq = [None] * q
         for l in range(q):
+            if feq[l] is not None:
+                continue
             cu = None
             for a in range(d):
                 ca = c[a, l]
@@ -209,11 +220,16 @@ def _build_kernel_body(
                     continue
                 t = u[a] if ca == 1 else -u[a]
                 cu = t if cu is None else cu + t
+            rw = rho * cdt(w[l])
             if cu is None:
-                feq.append(rho * cdt(w[l]) * (1.0 - usqr))
-            else:
-                cu = 3.0 * cu
-                feq.append(rho * cdt(w[l]) * (1.0 + cu * (1.0 + 0.5 * cu) - usqr))
+                feq[l] = rw * base
+                continue
+            cu3 = 3.0 * cu
+            even = base + 0.5 * (cu3 * cu3)
+            feq[l] = rw * (even + cu3)
+            o = int(opp[l])
+            if feq[o] is None:
+                feq[o] = rw * (even - cu3)
         return feq
 
     def second_moment(fneq):
@@ -524,8 +540,10 @@ def _build_kernel_body(
             for l in range(1, q):
                 rho = rho + f_s[l]
             u = [jax.lax.index_in_dim(aux, aux_u_off + a, axis=0, keepdims=False) for a in range(d)]
-            feq = []
+            feq = [None] * q
             for l in range(q):
+                if feq[l] is not None:
+                    continue
                 cu = None
                 for a in range(d):
                     ca = c[a, l]
@@ -533,7 +551,16 @@ def _build_kernel_body(
                         continue
                     t = u[a] if ca == 1 else -u[a]
                     cu = t if cu is None else cu + t
-                feq.append(rho * cdt(w[l]) * (1.0 if cu is None else 1.0 + 3.0 * cu))
+                rw = rho * cdt(w[l])
+                if cu is None:
+                    feq[l] = rw
+                    continue
+                # pair-shared linear form: geq_{l,o} = rho w (1 +- 3 c.u)
+                cu3 = 3.0 * cu
+                feq[l] = rw * (1.0 + cu3)
+                o = int(opp[l])
+                if feq[o] is None:
+                    feq[o] = rw * (1.0 - cu3)
             f_out = [f_s[l] - omega * (f_s[l] - feq[l]) for l in range(q)]
         else:
             rho, u = moments(f_s)
