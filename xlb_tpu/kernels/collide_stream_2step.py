@@ -16,7 +16,7 @@ lands in the output.  Every intermediate is cast to the storage dtype
 between sweeps, so the result matches k invocations of the single-step
 kernel to store-dtype roundoff -- not bitwise: FMA contraction varies with
 slab shape, so isolated elements can round ~1 ulp apart (the parity oracle
-in tests/kernels/test_fused_2step.py bounds this at 4 ulp + >=99% exact).
+in tests/kernels/test_fused_2step.py bounds this at 8 ulp + a high exact fraction).
 
 DMA layout (generalizes the 2-step piece table -- widths change, structure
 doesn't):

@@ -618,7 +618,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             else:
                 # auto: k=2. Deeper blocking cuts HBM traffic further but the
                 # kernel is compute-bound past k=2 on v5e (halo recompute grows
-                # with k): measured 5425/4849/4724 MLUPS at k=2/3/4, 256^3
+                # with k): measured 5750/5164/5058 MLUPS at k=2/3/4, 256^3
                 # bf16 tile (8,64).  Callers with expensive exchanges (DCN)
                 # can ask for more.
                 temporal_steps = 2
