@@ -98,7 +98,7 @@ if __name__ == "__main__":
     p.add_argument("num_steps", type=int, nargs="?", default=50)
     p.add_argument("--backend", choices=["jax", "pallas"], default="pallas")
     p.add_argument("--velocity-set", choices=["D3Q19", "D3Q27"], default="D3Q19")
-    p.add_argument("--collision", choices=["BGK", "KBC", "SmagorinskyLESBGK"], default="BGK")
+    p.add_argument("--collision", choices=["BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT"], default="BGK")
     p.add_argument("--precision", default="FP32FP32")
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--reps", type=int, default=3)

@@ -31,7 +31,7 @@ def _cavity(vs_cls, n=16, collision="BGK", halfway=False):
 
 
 @pytest.mark.parametrize("kernel", ["blocked", "dma"])
-@pytest.mark.parametrize("collision", ["BGK", "KBC", "SmagorinskyLESBGK"])
+@pytest.mark.parametrize("collision", ["BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT"])
 def test_fused_matches_reference_step(collision, kernel):
     vs = init_env(D3Q27 if collision == "KBC" else D3Q19)
     stepper = _cavity(D3Q27 if collision == "KBC" else D3Q19, collision=collision)

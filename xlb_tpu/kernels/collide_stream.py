@@ -58,6 +58,26 @@ def kernel_bc_id(bc_id):
     return bc_id
 
 
+def kernel_collision_spec(stepper):
+    """Collision argument for the fused kernel builders.
+
+    Returns the plain collision-type string when the operator runs on class
+    defaults, or a ``(string, params)`` tuple carrying the operator's actual
+    constructor parameters (TRT magic, MRT projector matrices, custom
+    Smagorinsky coefficient) so the kernel matches the jnp tier exactly.
+    """
+    ct = stepper.collision_type
+    coll = stepper.collision
+    inner = getattr(coll, "collision_operator", coll)  # unwrap ForcedCollision
+    if ct == "TRT":
+        return (ct, {"magic": inner.magic})
+    if ct == "MRT":
+        return (ct, {"fixed": inner.fixed_projectors})
+    if ct == "SmagorinskyLESBGK":
+        return (ct, {"smagorinsky_coef": inner.smagorinsky_coef})
+    return ct
+
+
 def _roll_lane(x, shift, logical=None):
     """Periodic roll along the last (lane) axis; |shift| small.
 
@@ -143,7 +163,18 @@ def _build_kernel_body(
     the zeroth moment is the transported scalar, the ADVECTING velocity
     arrives as d per-voxel aux channels, and the equilibrium is linear
     (geq_l = w_l phi (1 + 3 c.u)); BGK only, voxel-local BC kinds only.
+
+    ``collision`` is either the collision-type string or a
+    ``(string, params)`` tuple from ``kernel_collision_spec`` carrying the
+    operator's constructor parameters (TRT magic, MRT projector matrices,
+    Smagorinsky coefficient) so custom values reach the kernel instead of
+    the class defaults.
     """
+    if isinstance(collision, tuple):
+        collision, collision_params = collision
+    else:
+        collision_params = {}
+    smagorinsky_coef = collision_params.get("smagorinsky_coef", smagorinsky_coef)
     if ade:
         assert collision == "BGK", "fused ADE supports BGK relaxation only"
         # zouhe/regularized with a CONSTANT prescribed value give Dirichlet
@@ -251,6 +282,52 @@ def _build_kernel_body(
     def collide(f_s, feq, omega):
         if collision == "BGK":
             return [f_s[l] - omega * (f_s[l] - feq[l]) for l in range(q)]
+        if collision == "TRT":
+            # two-relaxation-time (ops/collision.py::trt_collide): even part
+            # relaxes at omega (viscosity), odd at omega_minus from the magic
+            # parameter; computed per opposite PAIR like the equilibrium
+            lam = cdt(collision_params.get("magic", 0.25))
+            tau_p_half = 1.0 / omega - 0.5
+            om_m = 1.0 / (lam / tau_p_half + 0.5)
+            out = [None] * q
+            for l in range(q):
+                if out[l] is not None:
+                    continue
+                o = int(opp[l])
+                if o == l:  # rest direction: purely even
+                    out[l] = f_s[l] - omega * (f_s[l] - feq[l])
+                    continue
+                h_even = omega * (0.5 * (f_s[l] + f_s[o]) - 0.5 * (feq[l] + feq[o]))
+                h_odd = om_m * (0.5 * (f_s[l] - f_s[o]) - 0.5 * (feq[l] - feq[o]))
+                out[l] = f_s[l] - h_even - h_odd
+                out[o] = f_s[o] - h_even + h_odd
+            return out
+        if collision == "MRT":
+            # BGK plus one static-projector correction per fixed-rate moment
+            # group (ops/collision.py::mrt_collide); unrolled adds keep the
+            # contraction on the VPU at full precision, zero entries skipped
+            fixed = collision_params["fixed"]
+
+            def mat_apply(mat, vecs):
+                outs = []
+                for i in range(q):
+                    acc = None
+                    for j in range(q):
+                        m = float(mat[i, j])
+                        if abs(m) < 1e-14:
+                            continue
+                        t = vecs[j] if m == 1.0 else (-vecs[j] if m == -1.0 else vecs[j] * cdt(m))
+                        acc = t if acc is None else acc + t
+                    outs.append(acc if acc is not None else jnp.zeros_like(vecs[0]))
+                return outs
+
+            fneq = [f_s[l] - feq[l] for l in range(q)]
+            out = [f_s[l] - omega * fneq[l] for l in range(q)]
+            for s, P in fixed:
+                r = mat_apply(P, fneq)
+                coef = omega - cdt(s)
+                out = [out[l] + coef * r[l] for l in range(q)]
+            return out
         if collision == "SmagorinskyLESBGK":
             fneq = [f_s[l] - feq[l] for l in range(q)]
             pi = second_moment(fneq)

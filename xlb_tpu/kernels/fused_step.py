@@ -27,7 +27,7 @@ from xlb_tpu.boundary.bc_bounce_back import FullwayBounceBackBC, HalfwayBounceBa
 from xlb_tpu.boundary.bc_zouhe import ZouHeBC
 from xlb_tpu.boundary.bc_regularized import RegularizedBC
 from xlb_tpu.boundary.bc_extrapolation_outflow import ExtrapolationOutflowBC
-from xlb_tpu.kernels.collide_stream import build_fused_collide_stream_3d
+from xlb_tpu.kernels.collide_stream import build_fused_collide_stream_3d, kernel_collision_spec
 
 
 def bc_to_spec(bc, velocity_set):
@@ -247,7 +247,7 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
     vs = stepper.velocity_set
     shape = tuple(shape_override) if shape_override is not None else stepper.grid.shape
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
-    collision = stepper.collision_type
+    collision = kernel_collision_spec(stepper)
     force_vector = stepper_force_vector(stepper)
     pp = stepper.precision_policy
     aux_np = build_aux_field(stepper)
@@ -481,7 +481,7 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
         from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
 
         fused = build_fused_collide_stream_2d(
-            vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+            vs, shape, collision=kernel_collision_spec(stepper), bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile_x=(tile[0] if tile else _auto_tile_x(shape[0])),
             interpret=interpret, has_solids=getattr(stepper, "has_solids", True), extern_force=True,
@@ -492,7 +492,7 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
         if shape[2] % 128 != 0:
             raise NotImplementedError("fused forced step needs a 128-multiple z extent (manual-DMA lane rule)")
         fused = build_fused_collide_stream_3d_dma(
-            vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+            vs, shape, collision=kernel_collision_spec(stepper), bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile=tile or _auto_tile(shape), interpret=interpret,
             has_solids=getattr(stepper, "has_solids", True), extern_force=True,
@@ -562,7 +562,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         )
 
         kw2 = dict(
-            collision=stepper.collision_type, bc_specs=bc_specs,
+            collision=kernel_collision_spec(stepper), bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile_x=(tile[0] if tile else _auto_tile_x(shape[0])), interpret=interpret, shifted=shifted,
             has_solids=has_solids, force_vector=force_vector,
@@ -604,7 +604,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         tile = tile or (_auto_tile(shape) if kernel == "dma" else (16, 8))
         kwz = {} if kernel != "dma" else {"logical_z": logical_z}
         fused = builder(
-            vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+            vs, shape, collision=kernel_collision_spec(stepper), bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
             tile=tile, interpret=interpret, shifted=shifted, has_solids=has_solids,
             force_vector=force_vector, **kwz,
@@ -634,7 +634,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             for k in range(min(temporal_steps, num_steps, tile[0], 8), 1, -1):
                 try:
                     fused2 = build_fused_collide_stream_3d_kstep(
-                        vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+                        vs, shape, collision=kernel_collision_spec(stepper), bc_specs=bc_specs,
                         compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
                         tile=tile, steps=k, interpret=interpret, shifted=shifted,
                         has_solids=has_solids, force_vector=force_vector,
@@ -666,7 +666,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
 
         try:
             win_bwd = build_fused_adjoint_3d(
-                vs, shape, collision=stepper.collision_type, bc_specs=bc_specs,
+                vs, shape, collision=kernel_collision_spec(stepper), bc_specs=bc_specs,
                 compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
                 tile=tile, interpret=interpret, has_solids=has_solids,
                 force_vector=force_vector, shifted=shifted, logical_z=logical_z,

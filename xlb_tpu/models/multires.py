@@ -128,6 +128,11 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 )
         common = dict(velocity_set=self.velocity_set, precision_policy=self.precision_policy, compute_backend=self.compute_backend)
         self.collision = _COLLISIONS[collision_type](**common)
+        # collision argument for the fused kernel builders (carries operator
+        # params -- TRT magic, MRT projectors -- alongside the type string)
+        from xlb_tpu.kernels.collide_stream import kernel_collision_spec
+
+        self._kernel_collision = kernel_collision_spec(self)
         self.equilibrium = QuadraticEquilibrium(**common)
         self.macroscopic = Macroscopic(**common)
 
@@ -263,7 +268,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 self._cts = build_fused_cts_pair_thin(
                     self.velocity_set,
                     ext_shape,
-                    collision=self.collision_type,
+                    collision=self._kernel_collision,
                     bc_specs=specs,
                     compute_dtype=self.precision_policy.compute_dtype,
                     store_dtype=self.precision_policy.store_dtype,
@@ -295,7 +300,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                     self._cts = build_fused_collide_then_stream(
                         self.velocity_set,
                         ext_shape,
-                        collision=self.collision_type,
+                        collision=self._kernel_collision,
                         bc_specs=specs,
                         compute_dtype=self.precision_policy.compute_dtype,
                         store_dtype=self.precision_policy.store_dtype,
@@ -356,7 +361,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 kern = build_fused_cts_pair_thin(
                     self.velocity_set,
                     (Xl + 2 * hx, Yl + 2 * hy, Ze),
-                    collision=self.collision_type,
+                    collision=self._kernel_collision,
                     bc_specs=specs,
                     compute_dtype=self.precision_policy.compute_dtype,
                     store_dtype=self.precision_policy.store_dtype,
@@ -430,7 +435,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 self._cts_coarse = build_fused_cts_pair_thin(
                     self.velocity_set,
                     (X, Y, Z),
-                    collision=self.collision_type,
+                    collision=self._kernel_collision,
                     bc_specs=specs,
                     compute_dtype=self.precision_policy.compute_dtype,
                     store_dtype=self.precision_policy.store_dtype,
@@ -475,7 +480,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 kern = build_fused_cts_pair_thin(
                     self.velocity_set,
                     (Xl + 2 * hx, Yl + 2 * hy, Z),
-                    collision=self.collision_type,
+                    collision=self._kernel_collision,
                     bc_specs=specs,
                     compute_dtype=self.precision_policy.compute_dtype,
                     store_dtype=self.precision_policy.store_dtype,
@@ -542,7 +547,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 self._cts_mid[level] = build_fused_cts_pair_thin(
                     self.velocity_set,
                     (X + 2 * gx, Y + 2 * gy, Z + 2 * gz),
-                    collision=self.collision_type,
+                    collision=self._kernel_collision,
                     bc_specs=[],
                     compute_dtype=self.precision_policy.compute_dtype,
                     store_dtype=self.precision_policy.store_dtype,
@@ -583,7 +588,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 kern = build_fused_cts_pair_thin(
                     self.velocity_set,
                     (Xl + 2 * hx, Yl + 2 * hy, Ze),
-                    collision=self.collision_type,
+                    collision=self._kernel_collision,
                     bc_specs=[],
                     compute_dtype=self.precision_policy.compute_dtype,
                     store_dtype=self.precision_policy.store_dtype,
@@ -683,7 +688,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 self._fused_collide[l] = build_level_collide(
                     self.velocity_set,
                     self.grid.levels[l].shape,
-                    collision=self.collision_type,
+                    collision=self._kernel_collision,
                     bc_specs=specs,
                     compute_dtype=cdt,
                     store_dtype=cdt,

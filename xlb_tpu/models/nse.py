@@ -27,14 +27,14 @@ from xlb_tpu.operator import Operator  # noqa: F401  (re-exported for parity)
 from xlb_tpu.ops.stream import Stream
 from xlb_tpu.ops.equilibrium import QuadraticEquilibrium
 from xlb_tpu.ops.macroscopic import Macroscopic
-from xlb_tpu.ops.collision import BGK, KBC, SmagorinskyLESBGK, ForcedCollision
+from xlb_tpu.ops.collision import BGK, KBC, SmagorinskyLESBGK, TRT, MRT, ForcedCollision
 from xlb_tpu.boundary.base import ImplementationStep
 from xlb_tpu.boundary.maskers import IndicesBoundaryMasker
 from xlb_tpu.helper.check_boundary_overlaps import check_bc_overlaps
 from xlb_tpu.helper.nse_fields import create_nse_fields
 from xlb_tpu.helper.initializers import initialize_eq
 
-_COLLISIONS = {"BGK": BGK, "KBC": KBC, "SmagorinskyLESBGK": SmagorinskyLESBGK}
+_COLLISIONS = {"BGK": BGK, "KBC": KBC, "SmagorinskyLESBGK": SmagorinskyLESBGK, "TRT": TRT, "MRT": MRT}
 
 
 class IncompressibleNavierStokesStepper(Stepper):
@@ -45,7 +45,7 @@ class IncompressibleNavierStokesStepper(Stepper):
     ----------
     grid : Grid
     boundary_conditions : list of BoundaryCondition
-    collision_type : {"BGK", "KBC", "SmagorinskyLESBGK"}
+    collision_type : {"BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT"}
     streaming_scheme : {"pull", "push"}
     forcing_scheme : str
         Only "exact_difference" (used when ``force_vector`` is given).
@@ -64,6 +64,7 @@ class IncompressibleNavierStokesStepper(Stepper):
         velocity_set=None,
         precision_policy=None,
         compute_backend=None,
+        collision_params=None,
     ):
         super().__init__(grid, boundary_conditions, velocity_set, precision_policy, compute_backend)
         self.backend_config = backend_config or {}
@@ -72,7 +73,10 @@ class IncompressibleNavierStokesStepper(Stepper):
         if collision_type not in _COLLISIONS:
             raise ValueError(f"unknown collision_type {collision_type!r}; choose from {sorted(_COLLISIONS)}")
         common = dict(velocity_set=self.velocity_set, precision_policy=self.precision_policy, compute_backend=self.compute_backend)
-        self.collision = _COLLISIONS[collision_type](**common)
+        # collision_params: extra ctor kwargs for the collision operator
+        # (TRT magic, MRT bulk_rate/ghost_rate, Smagorinsky smagorinsky_coef);
+        # threaded into the fused kernels via kernel_collision_spec
+        self.collision = _COLLISIONS[collision_type](**common, **(collision_params or {}))
         if force_vector is not None:
             self.collision = ForcedCollision(self.collision, forcing_scheme=forcing_scheme, force_vector=force_vector)
 

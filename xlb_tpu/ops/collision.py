@@ -1,15 +1,20 @@
-"""Collision operators: BGK, KBC, Smagorinsky-LES BGK, and forced wrapping.
+"""Collision operators: BGK, KBC, Smagorinsky-LES BGK, TRT, MRT, and forced
+wrapping.
 
 Math parity with reference xlb/operator/collision/{bgk,kbc,
 smagorinsky_les_bgk,forced_collision}.py, written as pure-jnp functions that
-XLA fuses into the surrounding step.
+XLA fuses into the surrounding step.  TRT (two-relaxation-time, Ginzburg) and
+MRT (multiple-relaxation-time, d'Humieres) have no reference counterpart --
+they extend the collision zoo beyond the reference's BGK/KBC/LES set.
 """
 
+import numpy as np
 import jax.numpy as jnp
 
 from xlb_tpu.operator import Operator
 from xlb_tpu.ops.macroscopic import momentum_flux, Macroscopic
 from xlb_tpu.ops.force import ExactDifference
+from xlb_tpu.ops.stencil_math import stencil_contract
 
 
 def bgk_collide(f, feq, omega):
@@ -111,6 +116,140 @@ def smagorinsky_collide(f, feq, omega, cc, d, smagorinsky_coef=0.17):
 
 
 # ---------------------------------------------------------------------------
+# TRT (two-relaxation-time, Ginzburg) -- no reference counterpart
+# ---------------------------------------------------------------------------
+
+
+def trt_omega_minus(omega, magic):
+    """Odd-part relaxation rate from the even rate and the magic parameter.
+
+    Lambda = (tau+ - 1/2)(tau- - 1/2); tau+ = 1/omega carries the shear
+    viscosity (the momentum flux is even under c -> -c), so
+    tau- = Lambda / (tau+ - 1/2) + 1/2.  Lambda = 1/4 puts walls exactly
+    halfway for bounce-back ("magic" value); Lambda = 3/16 gives exact
+    Poiseuille with halfway bounce-back walls.
+    """
+    tau_p_half = 1.0 / omega - 0.5
+    return 1.0 / (magic / tau_p_half + 0.5)
+
+
+def trt_collide(f, feq, omega, opposite_indices, magic=0.25):
+    """Two-relaxation-time collision: split f and feq into parts even/odd
+    under direction reversal and relax them at independent rates.
+
+        f_l' = f_l - omega (f_l+ - feq_l+) - omega_minus (f_l- - feq_l-)
+
+    where x_l+- = (x_l +- x_lbar)/2.  The even rate ``omega`` sets the shear
+    viscosity exactly as in BGK; ``omega_minus`` follows from ``magic``
+    (see trt_omega_minus).  With magic = (tau+ - 1/2)^2 the two rates
+    coincide and TRT reduces to BGK exactly.
+    """
+    om_m = trt_omega_minus(omega, f.dtype.type(magic))
+    f_opp = f[opposite_indices]
+    feq_opp = feq[opposite_indices]
+    f_even = 0.5 * (f + f_opp)
+    f_odd = 0.5 * (f - f_opp)
+    e_even = 0.5 * (feq + feq_opp)
+    e_odd = 0.5 * (feq - feq_opp)
+    return f - omega * (f_even - e_even) - om_m * (f_odd - e_odd)
+
+
+# ---------------------------------------------------------------------------
+# MRT (multiple-relaxation-time, d'Humieres) -- no reference counterpart
+# ---------------------------------------------------------------------------
+
+
+def _mrt_moment_groups(velocity_set):
+    """Orthogonal moment basis for a stencil, grouped by physical content.
+
+    Candidates are lattice monomials in physics order -- conserved (1, c_a),
+    bulk (|c|^2), traceless second order (c_a^2 - c_b^2, c_a c_b), then all
+    higher monomials c_x^i c_y^j c_z^k (i,j,k <= 2) by degree -- run through
+    Gram-Schmidt, dropping candidates that are linearly dependent on earlier
+    rows (e.g. c_x^2 alone, already spanned by 1, |c|^2 and the traceless
+    pair).  This reproduces the d'Humieres/Lallemand-Luo construction up to
+    row scaling, which cancels in the projectors.
+
+    Returns a list of (group_name, orthogonal_row_vector) of length q.
+    """
+    c = velocity_set._c.astype(np.float64)
+    d, q = c.shape
+    cand = [("conserved", np.ones(q))]
+    for a in range(d):
+        cand.append(("conserved", c[a].copy()))
+    r2 = (c**2).sum(axis=0)
+    cand.append(("bulk", r2))
+    for a in range(d - 1):
+        cand.append(("shear", c[a] ** 2 - c[a + 1] ** 2))
+    for a in range(d):
+        for b in range(a + 1, d):
+            cand.append(("shear", c[a] * c[b]))
+    import itertools
+
+    monos = sorted(
+        (sum(es), es) for es in itertools.product(range(3), repeat=d) if sum(es) >= 2
+    )
+    for _, es in monos:
+        v = np.ones(q)
+        for a, e in enumerate(es):
+            v = v * c[a] ** e
+        cand.append(("ghost", v))
+
+    kept = []
+    for g, v in cand:
+        w = v.copy()
+        for _, u in kept:
+            w = w - (w @ u) / (u @ u) * u
+        if np.sqrt(w @ w) > 1e-8 * max(1.0, np.sqrt(v @ v)):
+            kept.append((g, w))
+        if len(kept) == q:
+            break
+    assert len(kept) == q, f"MRT basis incomplete: {len(kept)} of {q} rows"
+    return kept
+
+
+def mrt_projectors(velocity_set):
+    """Symmetric projectors onto the conserved/shear/bulk/ghost moment
+    subspaces.  Rows are orthogonal, so P_g = sum_i u_i u_i^T / (u_i.u_i)
+    and P_conserved + P_shear + P_bulk + P_ghost = I exactly."""
+    q = velocity_set.q
+    P = {g: np.zeros((q, q)) for g in ("conserved", "shear", "bulk", "ghost")}
+    for g, u in _mrt_moment_groups(velocity_set):
+        P[g] += np.outer(u, u) / (u @ u)
+    return P
+
+
+def mrt_fixed_projectors(velocity_set, bulk_rate=None, ghost_rate=1.0):
+    """Static (rate, projector) pairs for the groups NOT relaxing at omega.
+
+    Groups whose rate is None relax at the traced ``omega`` -- since the
+    projectors sum to I, the collision then rewrites as BGK plus one
+    correction per fixed-rate group:
+
+        f' = f - omega fneq + sum_g (omega - s_g) (P_g @ fneq)
+
+    With bulk_rate=ghost_rate=None the list is empty and MRT IS BGK.
+    """
+    P = mrt_projectors(velocity_set)
+    fixed = []
+    for grp, rate in (("bulk", bulk_rate), ("ghost", ghost_rate)):
+        if rate is not None:
+            fixed.append((float(rate), P[grp]))
+    return fixed
+
+
+def mrt_collide(f, feq, omega, fixed_projectors):
+    """Multiple-relaxation-time collision via static moment-space projectors
+    (see mrt_fixed_projectors).  Contractions are unrolled adds
+    (stencil_contract) to stay on the VPU at full compute precision."""
+    fneq = f - feq
+    out = f - omega * fneq
+    for s, P in fixed_projectors:
+        out = out + (omega - s) * stencil_contract(P, fneq)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Operator wrappers
 # ---------------------------------------------------------------------------
 
@@ -145,6 +284,48 @@ class SmagorinskyLESBGK(Collision):
         return smagorinsky_collide(
             f, feq, self.compute_dtype(omega), self.velocity_set._cc, self.velocity_set.d, self.smagorinsky_coef
         )
+
+
+class TRT(Collision):
+    """Two-relaxation-time collision (Ginzburg).  ``magic`` is the Lambda
+    parameter tying the odd rate to the even (viscosity) rate; 1/4 is the
+    stability/wall-location optimum, 3/16 gives exact Poiseuille with
+    halfway bounce-back.  No reference counterpart (beyond-reference)."""
+
+    def __init__(self, velocity_set=None, precision_policy=None, compute_backend=None, magic=0.25):
+        super().__init__(velocity_set, precision_policy, compute_backend)
+        self.magic = float(magic)
+
+    def __call__(self, f, feq, omega):
+        return trt_collide(
+            f, feq, self.compute_dtype(omega), self.velocity_set._opp_indices, self.magic
+        )
+
+
+class MRT(Collision):
+    """Multiple-relaxation-time collision (d'Humieres) on the orthogonal
+    moment basis of the stencil.  Shear moments relax at ``omega`` (same
+    viscosity as BGK); ``bulk_rate``/``ghost_rate`` relax the trace and the
+    higher (ghost) moments -- None means "use omega", so with both None MRT
+    equals BGK exactly.  ghost_rate defaults to 1.0 (the regularized limit:
+    non-hydrodynamic content is projected out every step).  No reference
+    counterpart (beyond-reference)."""
+
+    def __init__(
+        self,
+        velocity_set=None,
+        precision_policy=None,
+        compute_backend=None,
+        bulk_rate=None,
+        ghost_rate=1.0,
+    ):
+        super().__init__(velocity_set, precision_policy, compute_backend)
+        self.bulk_rate = bulk_rate
+        self.ghost_rate = ghost_rate
+        self.fixed_projectors = mrt_fixed_projectors(self.velocity_set, bulk_rate, ghost_rate)
+
+    def __call__(self, f, feq, omega):
+        return mrt_collide(f, feq, self.compute_dtype(omega), self.fixed_projectors)
 
 
 class ForcedCollision(Collision):

@@ -43,6 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.sharding import PartitionSpec as P
 
 from xlb_tpu.kernels.fused_step import bc_to_spec, build_aux_field, pack_masks, stepper_force_vector
+from xlb_tpu.kernels.collide_stream import kernel_collision_spec
 from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
 from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_kstep
 
@@ -111,7 +112,7 @@ def build_distributed_fused_window(
     aux_np = build_aux_field(stepper)
     aux_global = None if aux_np is None else jnp.asarray(aux_np)
     kw = dict(
-        collision=stepper.collision_type,
+        collision=kernel_collision_spec(stepper),
         bc_specs=bc_specs,
         compute_dtype=pp.compute_dtype,
         store_dtype=pp.store_dtype,
@@ -313,7 +314,7 @@ def _build_distributed_fused_window_2d(stepper, num_steps, tile_x=8, interpret=N
     aux_global = None if aux_np is None else jnp.asarray(aux_np)
     nchan = 0 if aux_np is None else aux_np.shape[0]
     kw = dict(
-        collision=stepper.collision_type,
+        collision=kernel_collision_spec(stepper),
         bc_specs=bc_specs,
         compute_dtype=pp.compute_dtype,
         store_dtype=pp.store_dtype,
