@@ -40,7 +40,11 @@ def benchmark(cube_edge, num_steps, backend_tier, velocity_set_name, collision, 
         FullwayBounceBackBC(indices=walls.tolist()),
         EquilibriumBC(rho=1.0, u=(0.02, 0.0, 0.0), indices=box_ne["top"]),
     ]
-    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs, collision_type=collision)
+    # PowerLawBGK needs a consistency; mildly shear-thinning defaults for benching
+    params = {"consistency": 0.05, "power_index": 0.8} if collision == "PowerLawBGK" else None
+    stepper = IncompressibleNavierStokesStepper(
+        grid, boundary_conditions=bcs, collision_type=collision, collision_params=params
+    )
     f0, f1, bc_mask, missing_mask = stepper.prepare_fields()
 
     if backend_tier == "pallas" and window:
@@ -98,7 +102,7 @@ if __name__ == "__main__":
     p.add_argument("num_steps", type=int, nargs="?", default=50)
     p.add_argument("--backend", choices=["jax", "pallas"], default="pallas")
     p.add_argument("--velocity-set", choices=["D3Q19", "D3Q27"], default="D3Q19")
-    p.add_argument("--collision", choices=["BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT"], default="BGK")
+    p.add_argument("--collision", choices=["BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT", "PowerLawBGK"], default="BGK")
     p.add_argument("--precision", default="FP32FP32")
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--reps", type=int, default=3)

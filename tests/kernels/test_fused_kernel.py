@@ -26,12 +26,15 @@ def _cavity(vs_cls, n=16, collision="BGK", halfway=False):
     )
     wall_cls = HalfwayBounceBackBC if halfway else FullwayBounceBackBC
     bcs = [wall_cls(indices=walls.tolist()), EquilibriumBC(rho=1.0, u=(0.03, 0.0, 0.0), indices=box_ne["top"])]
-    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs, collision_type=collision)
+    params = {"consistency": 0.05, "power_index": 0.8} if collision == "PowerLawBGK" else None
+    stepper = IncompressibleNavierStokesStepper(
+        grid, boundary_conditions=bcs, collision_type=collision, collision_params=params
+    )
     return stepper
 
 
 @pytest.mark.parametrize("kernel", ["blocked", "dma"])
-@pytest.mark.parametrize("collision", ["BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT"])
+@pytest.mark.parametrize("collision", ["BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT", "PowerLawBGK"])
 def test_fused_matches_reference_step(collision, kernel):
     vs = init_env(D3Q27 if collision == "KBC" else D3Q19)
     stepper = _cavity(D3Q27 if collision == "KBC" else D3Q19, collision=collision)

@@ -152,3 +152,71 @@ def test_taylor_green_viscosity_set_by_shear_rate_only(collision_type, params):
     ghost rates must still match the analytic Taylor-Green decay."""
     ratio = _tgv_ke_ratio(collision_type, params)
     assert abs(ratio - 1.0) < 0.03, f"{collision_type} KE decay off: ratio={ratio:.4f}"
+
+
+def test_power_law_n1_is_newtonian_bgk():
+    """n = 1: nu = K exactly, independent of shear -- equals BGK at
+    omega = 1 / (3 K + 1/2) for any seed omega."""
+    vs = init_env(D3Q19)
+    from xlb_tpu.ops import PowerLawBGK, BGK, QuadraticEquilibrium, Macroscopic
+
+    K = 0.04
+    om_newt = 1.0 / (3.0 * K + 0.5)
+    rng = np.random.default_rng(11)
+    shape = (5, 5, 5)
+    f = jnp.asarray(0.5 + rng.random((vs.q, *shape), dtype=np.float32))
+    feq = QuadraticEquilibrium()(*Macroscopic()(f))
+    out_pl = PowerLawBGK(consistency=K, power_index=1.0)(f, feq, 0.9)
+    out_bgk = BGK()(f, feq, om_newt)
+    np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_bgk), rtol=1e-5, atol=1e-7)
+
+
+def test_power_law_conserves_mass_momentum():
+    vs = init_env(D2Q9)
+    from xlb_tpu.ops import PowerLawBGK, QuadraticEquilibrium, Macroscopic
+
+    rng = np.random.default_rng(12)
+    shape = (8, 8)
+    f = jnp.asarray(0.5 + rng.random((vs.q, *shape), dtype=np.float32))
+    rho_in, u_in = Macroscopic()(f)
+    feq = QuadraticEquilibrium()(rho_in, u_in)
+    out = PowerLawBGK(consistency=0.02, power_index=0.7)(f, feq, 1.2)
+    rho_out, u_out = Macroscopic()(out)
+    np.testing.assert_allclose(np.asarray(rho_out), np.asarray(rho_in), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(u_out * rho_out), np.asarray(u_in * rho_in), atol=2e-6)
+
+
+def test_power_law_poiseuille_profile():
+    """Force-driven channel of a shear-thinning (n = 0.8) power-law fluid:
+    steady u(y) = (n/(n+1)) (g/K)^(1/n) (h^(1+1/n) - |y - yc|^(1+1/n)).
+    Fullway walls put the no-slip planes half a link inside the wall rows
+    (same convention as the Newtonian Poiseuille test)."""
+    import jax.numpy as jnp
+    from xlb_tpu.boundary import FullwayBounceBackBC
+    from xlb_tpu.ops import Macroscopic
+
+    vs = init_env(D2Q9, precision="FP64FP64")
+    nx, ny = 4, 34
+    grid = grid_factory((nx, ny), mesh_shape=(1, 1), devices=__import__("jax").devices()[:1])
+    g, K, n = 1e-6, 0.02, 0.8
+    box = grid.bounding_box_indices()
+    walls = np.unique(np.concatenate([np.asarray(box["bottom"]), np.asarray(box["top"])], axis=1), axis=1)
+    stepper = IncompressibleNavierStokesStepper(
+        grid,
+        boundary_conditions=[FullwayBounceBackBC(indices=walls.tolist())],
+        collision_type="PowerLawBGK",
+        collision_params={"consistency": K, "power_index": n},
+        force_vector=np.array([g, 0.0]),
+    )
+    f0, f1, bm, mm = stepper.prepare_fields()
+    run = stepper.build_multi_step(60000, donate=False)
+    f0, f1 = run(f0, f1, bm, mm, 1.0)
+
+    _, u = Macroscopic()(f0)
+    profile = np.asarray(u)[0, nx // 2, 1:-1]
+    y = np.arange(1, ny - 1).astype(np.float64)
+    yc, h = (ny - 1) / 2.0, (ny - 2) / 2.0
+    analytic = (n / (n + 1.0)) * (g / K) ** (1.0 / n) * (
+        h ** (1.0 + 1.0 / n) - np.abs(y - yc) ** (1.0 + 1.0 / n)
+    )
+    np.testing.assert_allclose(profile, analytic, rtol=0.08, atol=2e-5)

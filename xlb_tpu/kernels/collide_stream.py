@@ -75,6 +75,12 @@ def kernel_collision_spec(stepper):
         return (ct, {"fixed": inner.fixed_projectors})
     if ct == "SmagorinskyLESBGK":
         return (ct, {"smagorinsky_coef": inner.smagorinsky_coef})
+    if ct == "PowerLawBGK":
+        return (ct, {
+            "consistency": inner.consistency,
+            "power_index": inner.power_index,
+            "iterations": inner.iterations,
+        })
     return ct
 
 
@@ -340,6 +346,29 @@ def _build_kernel_body(
             cs = cdt(smagorinsky_coef)
             tau = 0.5 * (tau0 + jnp.sqrt(tau0 * tau0 + 36.0 * cs * cs * jnp.sqrt(strain)))
             om = 1.0 / tau
+            return [f_s[l] - om * fneq[l] for l in range(q)]
+        if collision == "PowerLawBGK":
+            # generalized-Newtonian power-law viscosity
+            # (ops/collision.py::power_law_collide): local omega from a
+            # damped fixed point of 1/om = 3K (A om)^(n-1) + 1/2
+            fneq = [f_s[l] - feq[l] for l in range(q)]
+            pi = second_moment(fneq)
+            if d == 3:
+                diag, offd = (0, 3, 5), (1, 2, 4)
+            else:
+                diag, offd = (0, 2), (1,)
+            pi_sq = sum(pi[t] * pi[t] for t in diag) + 2.0 * sum(pi[t] * pi[t] for t in offd)
+            rho_loc = None
+            for l in range(q):
+                rho_loc = f_s[l] if rho_loc is None else rho_loc + f_s[l]
+            a_sh = 1.5 * jnp.sqrt(2.0 * pi_sq) / rho_loc
+            k3 = 3.0 * cdt(collision_params["consistency"])
+            nm1 = cdt(collision_params["power_index"] - 1.0)
+            eps = cdt(1e-12)
+            tau = jnp.broadcast_to(1.0 / omega, a_sh.shape).astype(a_sh.dtype)
+            for _ in range(int(collision_params.get("iterations", 5))):
+                tau = k3 * (a_sh / tau + eps) ** nm1 + 0.5
+            om = jnp.clip(1.0 / tau, 0.05, 1.99)
             return [f_s[l] - om * fneq[l] for l in range(q)]
         if collision == "KBC":
             fneq = [f_s[l] - feq[l] for l in range(q)]

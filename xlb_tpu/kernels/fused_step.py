@@ -214,15 +214,36 @@ def pack_masks(bc_mask, missing_mask):
     return miss_i32 | (bc << 27)
 
 
-def _auto_tile(shape):
+def _dma_step_vmem_bytes(q, tile, Z, store_itemsize, aux_nchan=0):
+    """Working-set estimate for the single-step manual-DMA kernel, used only
+    to SHRINK the auto tile before Mosaic's scoped-VMEM check would fail.
+    Calibrated against observed compiles at 256^3 D3Q19: tile (8, 64) fits
+    without aux but exceeds the 100 MB scoped limit with 19 hybrid weight
+    channels (measured 109.7 MB)."""
+    TX, TY = tile
+    est = 2 * q * (TX + 2) * (TY + 16) * Z * store_itemsize  # double-buffered halo scratch
+    est += 2 * q * TX * TY * Z * store_itemsize  # pipelined out blocks
+    est += 2 * TX * TY * Z * 4  # packed-mask blocks
+    est += 4 * TX * TY * Z * 4  # body live-range allowance
+    est += 4 * aux_nchan * TX * TY * Z * 4  # aux in-blocks + f32 cast + epilogue reads
+    return est
+
+
+def _auto_tile(shape, q=19, store_itemsize=4, aux_nchan=0):
     """Default (TX, TY) for the manual-DMA kernels: TX=8 matches the
     sublane-friendly layout (falling back to smaller divisors for odd
     x-extents, e.g. out-of-core padded slabs), TY as large as divides Y
-    (wider tiles amortize the fixed 8-row y-halo blocks) -- (8, 64) is the
-    measured v5e optimum at 256^3 (docs/performance.md has the sweep)."""
+    AND fits the scoped-VMEM budget (wider tiles amortize the fixed 8-row
+    y-halo blocks) -- (8, 64) is the measured v5e optimum at 256^3
+    (docs/performance.md has the sweep); heavy aux configs (hybrid mesh
+    distances = q weight channels) shrink TY to stay under the limit."""
     tx = next((t for t in (8, 4, 2, 1) if shape[0] % t == 0), 1)
-    ty = next((t for t in (64, 32, 16, 8) if shape[1] % t == 0), 8)
-    return (tx, ty)
+    budget = int(95e6)
+    candidates = [t for t in (64, 32, 16, 8) if shape[1] % t == 0] or [8]
+    for ty in candidates:
+        if _dma_step_vmem_bytes(q, (tx, ty), shape[2], store_itemsize, aux_nchan) <= budget:
+            return (tx, ty)
+    return (tx, candidates[-1])
 
 
 def _auto_tile_x(X):
@@ -299,7 +320,10 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
         if kernel == "dma":
             from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
 
-            tile = tile or _auto_tile(shape)
+            tile = tile or _auto_tile(
+                shape, vs.q, jnp.dtype(pp.store_dtype).itemsize,
+                aux_np.shape[0] if aux_np is not None else 0,
+            )
         else:
             builder = build_fused_collide_stream_3d
             tile = tile or (16, 8)
@@ -439,7 +463,8 @@ def build_fused_ade_step(stepper, tile=None, interpret=None):
         fused = build_fused_collide_stream_3d_dma(
             vs, shape, collision="BGK", bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
-            tile=tile or _auto_tile(shape), interpret=interpret,
+            tile=tile or _auto_tile(shape, vs.q, jnp.dtype(pp.store_dtype).itemsize, vs.d),
+            interpret=interpret,
             has_solids=getattr(stepper, "has_solids", True), ade=True,
         )
 
@@ -494,7 +519,11 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
         fused = build_fused_collide_stream_3d_dma(
             vs, shape, collision=kernel_collision_spec(stepper), bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
-            tile=tile or _auto_tile(shape), interpret=interpret,
+            tile=tile or _auto_tile(
+                shape, vs.q, jnp.dtype(pp.store_dtype).itemsize,
+                vs.d + (aux_bc_np.shape[0] if aux_bc_np is not None else 0),
+            ),
+            interpret=interpret,
             has_solids=getattr(stepper, "has_solids", True), extern_force=True,
         )
 
@@ -601,7 +630,14 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma as builder
         else:
             builder = build_fused_collide_stream_3d
-        tile = tile or (_auto_tile(shape) if kernel == "dma" else (16, 8))
+        tile = tile or (
+            _auto_tile(
+                shape, vs.q, jnp.dtype(pp.store_dtype).itemsize,
+                aux_np.shape[0] if aux_np is not None else 0,
+            )
+            if kernel == "dma"
+            else (16, 8)
+        )
         kwz = {} if kernel != "dma" else {"logical_z": logical_z}
         fused = builder(
             vs, shape, collision=kernel_collision_spec(stepper), bc_specs=bc_specs,

@@ -27,14 +27,14 @@ from xlb_tpu.operator import Operator  # noqa: F401  (re-exported for parity)
 from xlb_tpu.ops.stream import Stream
 from xlb_tpu.ops.equilibrium import QuadraticEquilibrium
 from xlb_tpu.ops.macroscopic import Macroscopic
-from xlb_tpu.ops.collision import BGK, KBC, SmagorinskyLESBGK, TRT, MRT, ForcedCollision
+from xlb_tpu.ops.collision import BGK, KBC, SmagorinskyLESBGK, TRT, MRT, PowerLawBGK, ForcedCollision
 from xlb_tpu.boundary.base import ImplementationStep
 from xlb_tpu.boundary.maskers import IndicesBoundaryMasker
 from xlb_tpu.helper.check_boundary_overlaps import check_bc_overlaps
 from xlb_tpu.helper.nse_fields import create_nse_fields
 from xlb_tpu.helper.initializers import initialize_eq
 
-_COLLISIONS = {"BGK": BGK, "KBC": KBC, "SmagorinskyLESBGK": SmagorinskyLESBGK, "TRT": TRT, "MRT": MRT}
+_COLLISIONS = {"BGK": BGK, "KBC": KBC, "SmagorinskyLESBGK": SmagorinskyLESBGK, "TRT": TRT, "MRT": MRT, "PowerLawBGK": PowerLawBGK}
 
 
 class IncompressibleNavierStokesStepper(Stepper):
@@ -45,7 +45,7 @@ class IncompressibleNavierStokesStepper(Stepper):
     ----------
     grid : Grid
     boundary_conditions : list of BoundaryCondition
-    collision_type : {"BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT"}
+    collision_type : {"BGK", "KBC", "SmagorinskyLESBGK", "TRT", "MRT", "PowerLawBGK"}
     streaming_scheme : {"pull", "push"}
     forcing_scheme : str
         Only "exact_difference" (used when ``force_vector`` is given).

@@ -1,7 +1,7 @@
 from xlb_tpu.ops.stream import Stream
 from xlb_tpu.ops.equilibrium import Equilibrium, QuadraticEquilibrium
 from xlb_tpu.ops.macroscopic import ZeroMoment, FirstMoment, SecondMoment, Macroscopic
-from xlb_tpu.ops.collision import Collision, BGK, KBC, SmagorinskyLESBGK, TRT, MRT, ForcedCollision
+from xlb_tpu.ops.collision import Collision, BGK, KBC, SmagorinskyLESBGK, TRT, MRT, PowerLawBGK, ForcedCollision
 from xlb_tpu.ops.force import ExactDifference, MomentumTransfer, MultiresMomentumTransfer
 from xlb_tpu.ops.precision_caster import PrecisionCaster
 
@@ -19,6 +19,7 @@ __all__ = [
     "SmagorinskyLESBGK",
     "TRT",
     "MRT",
+    "PowerLawBGK",
     "ForcedCollision",
     "ExactDifference",
     "MomentumTransfer",

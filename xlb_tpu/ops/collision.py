@@ -115,6 +115,48 @@ def smagorinsky_collide(f, feq, omega, cc, d, smagorinsky_coef=0.17):
     return f - (1.0 / tau)[None, ...] * fneq
 
 
+def power_law_collide(f, feq, omega, cc, d, consistency, power_index, iterations=5):
+    """BGK with a power-law (Ostwald-de Waele) generalized-Newtonian
+    viscosity: nu(gamma) = K gamma^(n-1) with shear rate gamma.
+
+    Like the Smagorinsky operator, the local shear rate comes from the
+    non-equilibrium momentum flux: S_ab = -(3 omega_loc / 2) Pi_neq_ab / rho
+    (Chapman-Enskog), so gamma = sqrt(2 S:S) = A * omega_loc with
+    A = 3 sqrt(2 Pi:Pi) / (2 rho).  The closure
+
+        1 / omega_loc = 3 K (A omega_loc)^(n-1) + 1/2
+
+    is solved per voxel by ``iterations`` Picard steps on tau seeded at the
+    rate ``omega`` (voxel-local, unrolled, differentiable).  The map
+    tau -> 3K (A / tau)^(n-1) + 1/2 contracts with rate |1-n| (1 - 1/(2 tau*)),
+    so it converges geometrically for any power index in (0, 2).
+    ``omega`` is the relaxation rate of the reference viscosity nu_ref; the
+    caller picks K so that nu(gamma_ref) = nu_ref at the characteristic
+    shear rate.  n < 1 is shear-thinning, n > 1 shear-thickening, n = 1
+    reduces to BGK with nu = K exactly.  No reference counterpart
+    (beyond-reference; reference's only strain-dependent model is the
+    Smagorinsky LES, smagorinsky_les_bgk.py:44-66).
+    """
+    dt = f.dtype
+    fneq = f - feq
+    rho = jnp.sum(f, axis=0)
+    pi = momentum_flux(fneq, cc, dt)
+    if d == 3:
+        diag, offdiag = (0, 3, 5), (1, 2, 4)
+    else:
+        diag, offdiag = (0, 2), (1,)
+    pi_sq = jnp.sum(pi[diag, ...] ** 2, axis=0) + 2.0 * jnp.sum(pi[offdiag, ...] ** 2, axis=0)
+    a = 1.5 * jnp.sqrt(2.0 * pi_sq) / rho
+    k3 = 3.0 * dt.type(consistency)
+    nm1 = dt.type(power_index - 1.0)
+    eps = dt.type(1e-12)
+    tau = jnp.broadcast_to(1.0 / jnp.asarray(omega, dt), a.shape)
+    for _ in range(iterations):
+        tau = k3 * (a / tau + eps) ** nm1 + 0.5
+    om = jnp.clip(1.0 / tau, 0.05, 1.99)  # keep tau in a stable range
+    return f - om[None, ...] * fneq
+
+
 # ---------------------------------------------------------------------------
 # TRT (two-relaxation-time, Ginzburg) -- no reference counterpart
 # ---------------------------------------------------------------------------
@@ -283,6 +325,36 @@ class SmagorinskyLESBGK(Collision):
     def __call__(self, f, feq, omega):
         return smagorinsky_collide(
             f, feq, self.compute_dtype(omega), self.velocity_set._cc, self.velocity_set.d, self.smagorinsky_coef
+        )
+
+
+class PowerLawBGK(Collision):
+    """Generalized-Newtonian power-law fluid: nu = K gamma^(n-1) with the
+    local shear rate from Pi_neq (see power_law_collide).  ``power_index``
+    n < 1 shear-thinning (e.g. blood ~0.7), n > 1 shear-thickening; n = 1
+    is Newtonian with nu = consistency.  No reference counterpart
+    (beyond-reference)."""
+
+    def __init__(
+        self,
+        velocity_set=None,
+        precision_policy=None,
+        compute_backend=None,
+        consistency=None,
+        power_index=1.0,
+        iterations=5,
+    ):
+        super().__init__(velocity_set, precision_policy, compute_backend)
+        if consistency is None:
+            raise ValueError("PowerLawBGK needs `consistency` (K, lattice units): nu = K gamma^(n-1)")
+        self.consistency = float(consistency)
+        self.power_index = float(power_index)
+        self.iterations = int(iterations)
+
+    def __call__(self, f, feq, omega):
+        return power_law_collide(
+            f, feq, self.compute_dtype(omega), self.velocity_set._cc, self.velocity_set.d,
+            self.consistency, self.power_index, self.iterations,
         )
 
 
