@@ -238,7 +238,11 @@ def _auto_tile(shape, q=19, store_itemsize=4, aux_nchan=0):
     (docs/performance.md has the sweep); heavy aux configs (hybrid mesh
     distances = q weight channels) shrink TY to stay under the limit."""
     tx = next((t for t in (8, 4, 2, 1) if shape[0] % t == 0), 1)
-    budget = int(95e6)
+    # calibration: a 256^3 D3Q19 + 19-aux-channel config estimates 89.7 MB
+    # here but compiles to a measured 109.7 MB scoped allocation (Mosaic's
+    # body live ranges are not modeled) -- budget 78 MB keeps the measured-good q27 (8, 64) config while rejecting the failing one
+    # under the kernels' 100 MB vmem_limit_bytes
+    budget = int(78e6)
     candidates = [t for t in (64, 32, 16, 8) if shape[1] % t == 0] or [8]
     for ty in candidates:
         if _dma_step_vmem_bytes(q, (tx, ty), shape[2], store_itemsize, aux_nchan) <= budget:
