@@ -99,4 +99,7 @@ def test_ooc_adjoint_fused_tier_matches_jnp_tier():
     loss_b, grad_b = b.loss_and_grad(_loss_tile, num_sweeps=1, omega=1.5, f_init=f0_np)
 
     assert abs(loss_a - loss_b) < 1e-6 * max(1.0, abs(loss_a))
-    np.testing.assert_allclose(grad_b, grad_a, rtol=1e-4, atol=1e-7)
+    # atol 1e-6: the fused kernel's pair-shared equilibrium reassociates the
+    # feq sum, so vjp roundoff on near-zero gradient entries differs from the
+    # jnp tier by up to ~6e-7 absolute (~2% relative on O(3e-5) elements)
+    np.testing.assert_allclose(grad_b, grad_a, rtol=1e-4, atol=1e-6)

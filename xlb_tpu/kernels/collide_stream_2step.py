@@ -131,7 +131,14 @@ def build_fused_collide_stream_3d_kstep(
     vmem_est = (
         2 * q * BX * BY * Z * isz  # double-buffered input
         + 2 * BXm * BYm * Z * 4  # double-buffered packed mask
-        + 2 * nchan * BXm * BYm * Z * 4  # double-buffered aux (f32)
+        # aux: double-buffered f32 blocks + per-sweep cast copies + epilogue
+        # live ranges.  8x is deliberately conservative -- a 19-channel
+        # (hybrid-distance) config measured >100 MB real scoped usage where
+        # the old 2x accounting estimated 68 MB, and for aux-heavy scenes
+        # k=1 measures faster than k=2 anyway (the depth-k aux halo refetch
+        # eats the traffic saving), so rejecting k-steps there is also the
+        # right performance call
+        + 8 * nchan * BXm * BYm * Z * 4
         + sum(int(np.prod(s)) * isz for s in inter_shapes)
         + 2 * q * TX * TY * Z * isz  # pipelined output block
     )

@@ -225,7 +225,10 @@ def _dma_step_vmem_bytes(q, tile, Z, store_itemsize, aux_nchan=0):
     est += 2 * q * TX * TY * Z * store_itemsize  # pipelined out blocks
     est += 2 * TX * TY * Z * 4  # packed-mask blocks
     est += 4 * TX * TY * Z * 4  # body live-range allowance
-    est += 4 * aux_nchan * TX * TY * Z * 4  # aux in-blocks + f32 cast + epilogue reads
+    # aux side array: double-buffered f32 in-blocks, an f32 cast copy, and
+    # epilogue live ranges -- 6x matches the measured 109.7 MB at the
+    # (8, 64) 19-channel f32 case exactly
+    est += 6 * aux_nchan * TX * TY * Z * 4
     return est
 
 
