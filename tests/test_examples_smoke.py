@@ -204,3 +204,14 @@ def test_mlups_2d_cli():
 def test_rayleigh_benard_2d_pallas():
     nus = _load("cfd/rayleigh_benard_2d.py").run(nx=48, ny=24, num_steps=1000, window=500, backend="pallas")
     assert np.isfinite(nus).all()
+
+
+def test_cylinder_benchmark_schafer_turek():
+    # tiny-diameter smoke: geometry/profile plumbing + an established
+    # periodic lift signal; quantitative agreement needs d >= 40 (the
+    # measured d=40 run is recorded in the script header)
+    cd_max, cl_max, st = _load("cfd/cylinder_benchmark_schafer_turek.py").run(
+        d=12, transient_periods=25, measure_periods=8, verbose=False
+    )
+    assert np.isfinite([cd_max, cl_max, st]).all()
+    assert 0.15 < st < 0.5 and cd_max > 1.0
