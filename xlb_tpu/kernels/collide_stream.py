@@ -626,6 +626,17 @@ def _build_kernel_body(
                     else:
                         refl = f_pre(opp[l]) + cdt(mw[l])
                     f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), refl, f_s[l])
+            elif kind == "free_slip":
+                # specular reflection (bc_free_slip.py): wall-crossing
+                # missing dirs take the pre-streaming population of the
+                # normal-flipped mirror; other tagged dirs (periodic corner
+                # wraps) keep their streamed values
+                perm = spec["spec_indices"]
+                refl = spec["reflect_dirs"]
+                for l in range(q):
+                    if not refl[l]:
+                        continue
+                    f_s[l] = jnp.where(jnp.logical_and(on, missing(l)), f_pre(int(perm[l])), f_s[l])
             elif kind in ("zouhe", "regularized"):
                 f_s = _zouhe_epilogue(spec, on, missing, f_s, aux)
             elif kind == "hybrid":

@@ -53,6 +53,11 @@ def bc_to_spec(bc, velocity_set):
         return spec
     if isinstance(bc, ExtrapolationOutflowBC):
         return {"kind": "extrapolation_outflow", "id": bc.id, "step": step, "normal": np.asarray(bc.normal, dtype=np.int64)}
+    from xlb_tpu.boundary.bc_free_slip import FreeSlipBC
+
+    if isinstance(bc, FreeSlipBC):
+        return {"kind": "free_slip", "id": bc.id, "step": step,
+                "spec_indices": bc.spec_indices, "reflect_dirs": bc.reflect_dirs}
     from xlb_tpu.boundary.bc_hybrid import HybridBC
 
     if isinstance(bc, HybridBC):
