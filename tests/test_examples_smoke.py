@@ -40,6 +40,15 @@ def test_flow_past_sphere_3d():
     assert np.isfinite(u).all()
 
 
+def test_insitu_render_3d(tmp_path):
+    surf, vol = _load("cfd/insitu_render_3d.py").run(
+        nx=32, nyz=16, num_steps=60, frames=1, image=48, outdir=str(tmp_path)
+    )
+    assert surf.shape == (48, 48, 3) and np.isfinite(surf).all()
+    assert np.isfinite(vol).all() and vol.max() > 0.0
+    assert (tmp_path / "qcrit_000.png").exists()
+
+
 def test_windtunnel_3d():
     drags = _load("cfd/windtunnel_3d.py").run(nx=32, nyz=16, num_steps=60, print_every=30)
     assert len(drags) == 2 and all(np.isfinite(d) for d in drags)
