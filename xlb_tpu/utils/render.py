@@ -133,13 +133,21 @@ def _sample(field, coords):
     return map_coordinates(field, [coords[0], coords[1], coords[2]], order=1, mode="constant", cval=0.0)
 
 
-def _lut_lookup(lut, t):
-    """Piecewise-linear LUT lookup of normalized values t in [0, 1]."""
-    lut = jnp.asarray(lut)
+def _lut_lookup_cf(lut, t):
+    """Piecewise-linear LUT lookup of normalized values t in [0, 1].
+
+    Returns CHANNEL-FIRST (3, *t.shape): a trailing channel axis of 3
+    would be padded to 128 lanes by the TPU tiled layout, turning a
+    per-sample RGB tensor into a ~42x memory blow-up (observed as a
+    34 GB allocation at 512^2 x 256 samples).  Keeping channels leading
+    leaves the sample axis on the lanes.
+    """
+    lut = np.asarray(lut)
     x = jnp.clip(t, 0.0, 1.0) * (lut.shape[0] - 1)
     i0 = jnp.clip(x.astype(jnp.int32), 0, lut.shape[0] - 2)
-    w1 = (x - i0)[..., None]
-    return lut[i0] * (1.0 - w1) + lut[i0 + 1] * w1
+    w1 = x - i0
+    chans = [jnp.asarray(lut[:, c])[i0] * (1.0 - w1) + jnp.asarray(lut[:, c])[i0 + 1] * w1 for c in range(3)]
+    return jnp.stack(chans)
 
 
 def render_volume(
@@ -186,13 +194,14 @@ def render_volume(
     # for dense rays, and the division form turns that into 0/0.
     inner = jnp.cumprod(1.0 - alpha[..., :-1], axis=-1)
     trans = jnp.concatenate([jnp.ones_like(alpha[..., :1]), inner], axis=-1)
-    weight = (trans * alpha)[..., None]  # (H, W, S, 1)
-    rgb = _lut_lookup(lut, t)  # (H, W, S, 3)
+    weight = trans * alpha  # (H, W, S)
+    rgb = _lut_lookup_cf(lut, t)  # (3, H, W, S) -- channel-first, S on lanes
 
-    color = jnp.sum(weight * rgb, axis=-2)
-    remaining = jnp.clip(1.0 - jnp.sum(weight, axis=-2), 0.0, 1.0)
-    bg = jnp.asarray(np.asarray(background, np.float32))
-    return color + remaining * bg
+    color = jnp.sum(weight[None] * rgb, axis=-1)  # (3, H, W)
+    remaining = jnp.clip(1.0 - jnp.sum(weight, axis=-1), 0.0, 1.0)
+    bg = np.asarray(background, np.float32)
+    out = color + remaining[None] * jnp.asarray(bg)[:, None, None]
+    return jnp.moveaxis(out, 0, -1)
 
 
 def render_isosurface(
@@ -256,8 +265,9 @@ def render_isosurface(
     lv = np.asarray(light, np.float64)
     lv = (lv / (np.linalg.norm(lv) + 1e-30)).astype(np.float32)
     lambert = jnp.clip(n[0] * lv[0] + n[1] * lv[1] + n[2] * lv[2], 0.0, 1.0)
-    shade = (ambient + (1.0 - ambient) * lambert)[..., None]  # (H, W, 1)
+    shade = ambient + (1.0 - ambient) * lambert  # (H, W)
 
+    # channel-first compositing throughout (see _lut_lookup_cf layout note)
     if color_by is not None:
         cfield = _as_scalar3d(color_by, "render_isosurface(color_by=...)")
         cval = _sample(cfield, p)
@@ -265,14 +275,15 @@ def render_isosurface(
             clo, chi = jnp.min(cfield), jnp.max(cfield)
         else:
             clo, chi = color_range
-        rgb = _lut_lookup(_colormap_lut(cmap), (cval - clo) / (chi - clo + 1e-30))
+        rgb = _lut_lookup_cf(_colormap_lut(cmap), (cval - clo) / (chi - clo + 1e-30))  # (3, H, W)
     else:
-        rgb = jnp.asarray(np.asarray(base_color, np.float32))[None, None, :]
-        rgb = jnp.broadcast_to(rgb, shade.shape[:2] + (3,))
+        rgb = jnp.broadcast_to(
+            jnp.asarray(np.asarray(base_color, np.float32))[:, None, None], (3,) + shade.shape
+        )
 
-    bg = jnp.asarray(np.asarray(background, np.float32))
-    img = jnp.where(any_hit[..., None], shade * rgb, bg[None, None, :])
-    return jnp.clip(img, 0.0, 1.0)
+    bg = np.asarray(background, np.float32)
+    img = jnp.where(any_hit[None], shade[None] * rgb, jnp.asarray(bg)[:, None, None])
+    return jnp.clip(jnp.moveaxis(img, 0, -1), 0.0, 1.0)
 
 
 def save_render(img, filename):
