@@ -66,6 +66,27 @@ def test_isosurface_hit_radius_and_background():
     assert 0.1 < img[h // 2, w // 2, 0] < 1.0
 
 
+def test_volume_render_vertical_orientation():
+    """A vertically asymmetric field must render right side up.
+
+    At elevation 0 the +z half-space projects into the TOP image rows
+    ('image row 0 = top'); a left-handed camera basis (up = right x fwd)
+    would mirror it to the bottom (advisor finding, round 3).
+    """
+    n = 32
+    ax = np.arange(n, dtype=np.float32)
+    # bright blob in the UPPER (+z) half only
+    x, y, z = np.meshgrid(ax, ax, ax, indexing="ij")
+    c = (n - 1) / 2.0
+    r = np.sqrt((x - c) ** 2 + (y - c) ** 2 + (z - 0.75 * n) ** 2)
+    field = np.exp(-((r / 6.0) ** 2)).astype(np.float32)
+    img = np.asarray(
+        render_volume(jnp.asarray(field), azimuth=0, elevation=0, image_size=(64, 64), value_range=(0.0, 1.0))
+    )
+    top, bottom = img[:32].sum(), img[32:].sum()
+    assert top > bottom + 1.0, f"+z blob rendered at the bottom (top={top:.3f}, bottom={bottom:.3f})"
+
+
 def test_isosurface_color_by_second_field():
     n = 32
     field, _ = _sphere_field(n)

@@ -9,8 +9,11 @@ volume emission-absorption compositing and gradient-shaded isosurfaces.
 Only the final ``(H, W, 3)`` image crosses the device boundary, so a
 rollout window can render frames with zero field I/O.  Because every
 stage is jnp (trilinear ``map_coordinates`` sampling, ``cumprod``
-transmittance), the renderer is also differentiable end-to-end -- pixels
+transmittance), ``render_volume`` is differentiable end-to-end -- pixels
 carry gradients back to the field, which PhantomGaze cannot do.
+``render_isosurface`` locates hits with ``argmax``/``where``, so no
+gradient flows through the hit POSITION w.r.t. the field geometry; it is
+differentiable only through shading/colour at the (fixed) hit point.
 
 Typical use (see ``examples/cfd/insitu_render_3d.py``)::
 
@@ -44,7 +47,11 @@ def _view_basis(azimuth, elevation):
     fwd = np.array([np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)])
     # a horizontal right vector; degenerate only at |elevation| == 90
     right = np.array([-np.sin(az), np.cos(az), 0.0])
-    up = np.cross(right, fwd)
+    # right-handed screen basis for a camera looking along -fwd:
+    # right x up must equal +fwd (toward the camera), hence up = fwd x right.
+    # (cross(right, fwd) gives up=(0,0,-1) at elevation 0 -- a vertically
+    # flipped, left-handed image.)
+    up = np.cross(fwd, right)
     up /= np.linalg.norm(up) + 1e-30
     return right, up, fwd
 
@@ -175,7 +182,10 @@ def render_volume(
     """
     field = _as_scalar3d(field, "render_volume")
     if n_samples is None:
-        n_samples = int(max(field.shape))
+        # the ray span is the bounding-sphere DIAMETER = |shape| (not the
+        # cube edge); ceil(|shape|) keeps the marching step at ~1 voxel on
+        # diagonal views instead of ~sqrt(3) voxels (visible aliasing).
+        n_samples = int(np.ceil(np.linalg.norm(field.shape)))
     coords, dt = _ray_grid(field.shape, azimuth, elevation, image_size, n_samples)
     lut = _colormap_lut(cmap)
 

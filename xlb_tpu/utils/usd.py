@@ -18,9 +18,9 @@ def _colormap(values, cmap="viridis"):
     lo, hi = float(values.min()), float(values.max())
     t = (values - lo) / (hi - lo) if hi > lo else np.zeros_like(values)
     try:
-        import matplotlib.cm as cm
+        import matplotlib
 
-        return cm.get_cmap(cmap)(t)[:, :3]
+        return matplotlib.colormaps[cmap](t)[:, :3]
     except Exception:
         # fallback gradient blue->red
         return np.stack([t, 0.2 * np.ones_like(t), 1.0 - t], axis=1)
