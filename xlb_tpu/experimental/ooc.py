@@ -314,6 +314,15 @@ class OOCNSESolver:
         self.f = mk(f_0)
         self.bc_mask = mk(bc_mask)
         self.missing_mask = mk(missing_mask)
+        # spatial-BC aux channels (profile inlets, hybrid wall distances)
+        # stream through the device as one more x-tiled read-only operand,
+        # sliced with the same ghost wrap as the masks (plain OOCArray: the
+        # aux is read-only, so compression would buy one decompress/sweep
+        # for no writeback saving)
+        from xlb_tpu.kernels.fused_step import build_aux_field
+
+        aux_np = build_aux_field(self.stepper)
+        self.aux = None if aux_np is None else OOCArray.from_array(aux_np, num_tiles=self.num_tiles)
         # free the on-device copies: from here the domain is host-resident
         del f_0, f_1
         return self
@@ -324,6 +333,7 @@ class OOCNSESolver:
         if getattr(self, "_tile_jit", None) is not None:
             return self._tile_jit
         stepper, g = self.stepper, self.steps_per_sweep
+        has_aux = getattr(self, "aux", None) is not None
         tile_fn = None
         want_fused = self.tier == "fused" or (self.tier == "auto" and jax.default_backend() != "cpu")
         if want_fused:
@@ -334,16 +344,25 @@ class OOCNSESolver:
                 slab_shape[0] = self.f.tile_extent + 2 * g  # padded slab x-extent
                 window = build_fused_window(stepper, g, shape_override=tuple(slab_shape))
 
-                def tile_fn(f, bc, miss, omega):
-                    a, _ = window(f, f, bc, miss, omega)
-                    return a.astype(f.dtype)
+                if has_aux:
+
+                    def tile_fn(f, bc, miss, aux, omega):
+                        a, _ = window(f, f, bc, miss, omega, aux=aux)
+                        return a.astype(f.dtype)
+                else:
+
+                    def tile_fn(f, bc, miss, omega):
+                        a, _ = window(f, f, bc, miss, omega)
+                        return a.astype(f.dtype)
             except (NotImplementedError, AssertionError):
                 if self.tier == "fused":
                     raise
                 tile_fn = None  # auto: config unsupported by the fused window
         if tile_fn is None:
-
-            def tile_fn(f, bc, miss, omega):
+            # jnp tier: the stepper's BC objects broadcast their own
+            # prescribed values (size-1 spatial axes survive x-slabbing),
+            # so the streamed aux operand is accepted but unused
+            def _jnp_tile(f, bc, miss, omega):
                 def body(t, carry):
                     a, b = carry
                     a, b = stepper(a, b, bc, miss, omega, t)
@@ -351,6 +370,11 @@ class OOCNSESolver:
 
                 a, _ = jax.lax.fori_loop(0, g, body, (f, f))
                 return a
+
+            if has_aux:
+                tile_fn = lambda f, bc, miss, aux, omega: _jnp_tile(f, bc, miss, omega)
+            else:
+                tile_fn = _jnp_tile
 
         self._tile_jit = jax.jit(tile_fn)
         return self._tile_jit
@@ -361,7 +385,9 @@ class OOCNSESolver:
             raise ValueError(f"num_steps {num_steps} must be a multiple of steps_per_sweep {g}")
         jfn = self._tile_fn()
         om = jnp.asarray(omega, dtype=jnp.float32)
+        arrays = [self.f, self.bc_mask, self.missing_mask]
+        if getattr(self, "aux", None) is not None:
+            arrays.append(self.aux)
         for _ in range(num_steps // g):
-            ooc_map(jfn, [self.f, self.bc_mask, self.missing_mask], ghost=g, extra_args=(om,),
-                    sharding=self.sharding)
+            ooc_map(jfn, arrays, ghost=g, extra_args=(om,), sharding=self.sharding)
         return self.f.to_numpy()

@@ -118,10 +118,10 @@ def _roll_lane(x, shift, logical=None):
 
 def spec_uses_aux(spec):
     """True when a BC spec needs a per-voxel aux channel (prescribed
-    velocity, or hybrid directional wall distances)."""
+    velocity or density, or hybrid directional wall distances)."""
     return (
         (isinstance(spec.get("mw"), str) and spec["mw"] == "aux")
-        or (isinstance(spec.get("value"), str) and spec["value"] == "aux")
+        or (isinstance(spec.get("value"), str) and spec["value"] in ("aux", "aux_rho"))
         or (spec.get("kind") == "hybrid" and spec.get("use_dist"))
     )
 
@@ -129,27 +129,32 @@ def spec_uses_aux(spec):
 def aux_layout(bc_specs, vs, base=0):
     """Static channel layout of the aux side array shared by the kernel
     body and ``fused_step.build_aux_field``: velocity channels first
-    (d, for spatial prescribed-velocity BCs), then one q-channel block of
+    (d, for spatial prescribed-velocity BCs), then one prescribed-density
+    channel (for spatial pressure BCs), then one q-channel block of
     wall-distance weights PER HybridBC-with-distances (keyed by BC id, so
     overlapping dilated shells of two meshes cannot clobber each other).
     ``base`` shifts the whole layout -- the extern_force mode prepends d
-    per-voxel force channels at offset 0 and lays the BC channels after
-    them (base=d).  Returns (u_off, w_offs, nchan): ``w_offs`` maps BC
-    id -> channel offset; ``u_off`` is None when no BC needs the velocity
-    channels; ``nchan`` includes the ``base`` prefix."""
+    per-voxel force channels at offset 0 and the ADE mode d advecting-
+    velocity channels, each laying the BC channels after them (base=d).
+    Returns (u_off, rho_off, w_offs, nchan): ``w_offs`` maps BC id ->
+    channel offset; ``u_off``/``rho_off`` are None when no BC needs that
+    channel; ``nchan`` includes the ``base`` prefix."""
     has_u = any(
         (isinstance(s.get("mw"), str) and s["mw"] == "aux")
         or (isinstance(s.get("value"), str) and s["value"] == "aux")
         for s in bc_specs
     )
+    has_rho = any(isinstance(s.get("value"), str) and s["value"] == "aux_rho" for s in bc_specs)
     u_off = base if has_u else None
     off = base + (vs.d if has_u else 0)
+    rho_off = off if has_rho else None
+    off += 1 if has_rho else 0
     w_offs = {}
     for s in bc_specs:
         if s.get("kind") == "hybrid" and s.get("use_dist"):
             w_offs[s["id"]] = off
             off += vs.q
-    return u_off, w_offs, off
+    return u_off, rho_off, w_offs, off
 
 
 def _build_kernel_body(
@@ -191,24 +196,21 @@ def _build_kernel_body(
         bad = [s["kind"] for s in bc_specs if s["kind"] not in allowed]
         if bad:
             raise NotImplementedError(f"fused ADE supports BC kinds {sorted(allowed)}; got {bad}")
-        bad_aux = [s["kind"] for s in bc_specs if spec_uses_aux(s)]
-        if bad_aux:
-            # in ADE mode aux channels 0..d-1 carry the ADVECTING velocity;
-            # a spatial-profile BC would silently read it as its wall velocity
-            raise NotImplementedError(f"fused ADE cannot host spatial-BC aux channels; got aux-using specs {bad_aux}")
+        # the ADVECTING velocity always rides channels [0:d]; spatial-BC
+        # channels (profile walls, spatial Dirichlet values) follow at
+        # offset d, exactly like the extern_force layout
         use_aux = True
-        aux_u_off, aux_w_offs = 0, {}
-        aux_nchan = vs.d
+        aux_u_off, aux_rho_off, aux_w_offs, aux_nchan = aux_layout(bc_specs, vs, base=vs.d)
     elif extern_force:
         # per-voxel exact-difference force field rides aux channels [0:d]
         # (a kernel ARGUMENT -- it changes every step in coupled flows);
         # spatial-BC channels, when present, follow at offset d
         assert force_vector is None, "extern_force replaces the static force_vector"
         use_aux = True
-        aux_u_off, aux_w_offs, aux_nchan = aux_layout(bc_specs, vs, base=vs.d)
+        aux_u_off, aux_rho_off, aux_w_offs, aux_nchan = aux_layout(bc_specs, vs, base=vs.d)
     else:
         use_aux = any(spec_uses_aux(s) for s in bc_specs)
-        aux_u_off, aux_w_offs, aux_nchan = aux_layout(bc_specs, vs)
+        aux_u_off, aux_rho_off, aux_w_offs, aux_nchan = aux_layout(bc_specs, vs)
     q, d = vs.q, vs.d
     c = vs._c  # (3, q) static
     w = vs._w
@@ -455,7 +457,11 @@ def _build_kernel_body(
                 rho = fsum / (1.0 + unormal)
                 u = [jnp.full_like(fsum, cdt(vel_const[a])) for a in range(d)]
         else:  # pressure
-            rho = jnp.full_like(fsum, cdt(spec["value"]))
+            if isinstance(spec["value"], str) and spec["value"] == "aux_rho":
+                # per-voxel prescribed density from the aux rho channel
+                rho = jax.lax.index_in_dim(aux, aux_rho_off, axis=0, keepdims=False).astype(cdt)
+            else:
+                rho = jnp.full_like(fsum, cdt(spec["value"]))
             unormal = -1.0 + fsum / rho
             u = [unormal * normals[a] for a in range(d)]
 
@@ -517,7 +523,7 @@ def _build_kernel_body(
         else:
             t_w = [cdt(0.5)] * q  # only the Tao closure reads these
 
-        if method in ("bounceback_regularized", "bounceback_grads"):
+        if method in ("bounceback", "bounceback_regularized", "bounceback_grads"):
             # Yu-Mei-Shyy single-node interpolated bounce-back
             f_bd = []
             for l in range(q):
@@ -530,6 +536,8 @@ def _build_kernel_body(
                 if mw is not None:
                     interp = interp + cdt(mw[l])
                 f_bd.append(jnp.where(miss[l], interp, f_s[l]))
+            if method == "bounceback":
+                return [jnp.where(on, f_bd[l], f_s[l]) for l in range(q)]
             rho, u = moments(f_bd)
             if method == "bounceback_regularized":
                 f_bd = _regularize_list(f_bd, equilibrium(rho, u))
@@ -576,9 +584,10 @@ def _build_kernel_body(
         ``fp_raw(l)`` lazily returns the raw centered (pre-streaming) slab.
         Everything here is voxel-local except the extrapolation-outflow
         staging epilogue, which needs ``staging_read`` (the halo-tile
-        reader) for its tangential-neighbor pulls -- callers that require
-        strict voxel-locality (the fused adjoint) pass ``staging_read=None``
-        and must reject extrapolation_outflow specs.  Returns the list of
+        reader) for its tangential-neighbor pulls.  The fused adjoint
+        passes a reader over its own staged-slab VJP inputs (one per
+        static (m, t) pair, see adjoint_step.staging_keys) so the reverse
+        sweep differentiates the staging too.  Returns the list of
         post-collision compute-dtype slabs (unshifted, uncast)."""
         bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
         f_s = [fs_raw[l] + cdt(w[l]) if shifted else fs_raw[l] for l in range(q)]
@@ -656,7 +665,9 @@ def _build_kernel_body(
             rho = f_s[0]
             for l in range(1, q):
                 rho = rho + f_s[l]
-            u = [jax.lax.index_in_dim(aux, aux_u_off + a, axis=0, keepdims=False) for a in range(d)]
+            # advecting velocity: always channels [0:d] (BC aux channels,
+            # if any, start at offset d -- aux_layout(base=d))
+            u = [jax.lax.index_in_dim(aux, a, axis=0, keepdims=False) for a in range(d)]
             feq = [None] * q
             for l in range(q):
                 if feq[l] is not None:
@@ -735,7 +746,10 @@ def _build_kernel_body(
                     # c_m . n >= +1: such a direction is never a staged slot
                     # at this face (its pull source is interior fluid)
                     continue
-                neighbor = _roll_lane(staging_read(m, 1 - t[0], 1 - t[1]), t[2], logical=logical_z)
+                # staging_read applies the z lane roll itself: pltpu.roll
+                # has no differentiation rule, so the fused adjoint must
+                # pre-roll its staged-slab VJP inputs OUTSIDE the traced core
+                neighbor = staging_read(m, 1 - t[0], 1 - t[1], t[2])
                 if shifted:
                     neighbor = neighbor + cdt(w[m])
                 extrap_opp = cs_speed * neighbor + (1.0 - cs_speed) * f_s[m]
@@ -770,7 +784,10 @@ def _build_kernel_body(
                 cx, cy, cz = int(c[0, l]), 0, int(c[1, l])  # y0 stays centered (1)
             fs_raw.append(_roll_lane(read_ext(l, 1 - cx, 1 - cy), cz, logical=logical_z))
 
-        f_out = pointwise_core(fs_raw, lambda l: read_ext(l, 1, 1), packed, omega, aux, staging_read=read_ext)
+        f_out = pointwise_core(
+            fs_raw, lambda l: read_ext(l, 1, 1), packed, omega, aux,
+            staging_read=lambda m, x0, y0, tz: _roll_lane(read_ext(m, x0, y0), tz, logical=logical_z),
+        )
         for l in range(q):
             result = f_out[l] - cdt(w[l]) if shifted else f_out[l]
             out[l] = result.astype(store_dtype)

@@ -285,13 +285,13 @@ def build_fused_collide_stream_3d_kstep(
         out_spec = pl.BlockSpec((q, TX, TY, Z), lambda a, b: (0, oi + a, oj + b, 0))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM
-        pl.BlockSpec(memory_space=pltpu.ANY),  # packed mask stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # f stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # packed mask stays in HBM
     ]
     if use_aux:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # aux stays in HBM
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))  # aux stays in HBM
     if alias_output:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))  # out_init, aliased below
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(gi, gj),

@@ -212,7 +212,7 @@ def build_fused_collide_stream_3d_dma(
         out_spec = pl.BlockSpec((q, TX, TY, Z), lambda a, b: (0, oi + a, oj + b, 0))
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # f stays in HBM, DMA'd manually
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # f stays in HBM, DMA'd manually
         spec_mask,
     ]
     if use_aux:
@@ -222,7 +222,7 @@ def build_fused_collide_stream_3d_dma(
         nchan = body.aux_nchan
         in_specs.append(pl.BlockSpec((nchan, TX, TY, Z), lambda i, j: (0, oi + i, oj + j, 0)))
     if alias_output:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # out_init, aliased below
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))  # out_init, aliased below
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(gi, gj),

@@ -89,9 +89,10 @@ def bc_to_spec(bc, velocity_set):
             else:
                 spec_value = "aux"  # spatial profile: per-voxel velocity from the aux field
         else:
-            if value.size != 1:
-                raise NotImplementedError(f"{kind} pressure BC in the fused kernel requires a constant density")
-            spec_value = float(value.reshape(-1)[0])
+            if value.size == 1:
+                spec_value = float(value.reshape(-1)[0])
+            else:
+                spec_value = "aux_rho"  # spatial profile: per-voxel density from the aux field
         return {"kind": kind, "id": bc.id, "step": step, "bc_type": bc.bc_type, "value": spec_value}
     raise NotImplementedError(
         f"{type(bc).__name__} is not yet supported by the fused Pallas kernel; "
@@ -114,53 +115,45 @@ def build_aux_field(stepper):
     (helper_functions_bc.py:371-501): spatial prescriptions ride a side
     array fetched with each tile instead of stolen population slots.
 
-    Channel layout (must match ``collide_stream.aux_layout``): d velocity
-    channels first (spatial prescribed-velocity BCs), then q hybrid
-    wall-distance weight channels (0.5 default = halfway)."""
+    The channel layout is taken from ``collide_stream.aux_layout`` (the
+    single source of truth shared with the kernel body): d velocity
+    channels (spatial prescribed-velocity BCs), one prescribed-density
+    channel (spatial pressure BCs), then q hybrid wall-distance weight
+    channels per HybridBC (0.5 default = halfway).  Dynamic base blocks
+    (extern force, ADE advecting velocity) are prepended by the caller at
+    run time, so the returned array always starts at the BC block.
+    Always grid-shaped: shape_override callers (out-of-core slabs) slice
+    it per slab and pass the slab through ``run(..., aux=...)``."""
     vs = stepper.velocity_set
     shape = tuple(stepper.grid.shape)
-    from xlb_tpu.boundary.bc_hybrid import HybridBC
+    from xlb_tpu.kernels.collide_stream import aux_layout
 
-    hybrids = [bc for bc in stepper.boundary_conditions if isinstance(bc, HybridBC) and bc.needs_mesh_distance]
-    aux = None
-    nonhybrid_u = False
+    bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    u_off, rho_off, w_offs, nchan = aux_layout(bc_specs, vs)
+    if nchan == 0:
+        return None
+    aux = np.zeros((nchan,) + shape, np.float32)
+    if rho_off is not None:
+        aux[rho_off] = 1.0  # inert default: keeps fsum/rho finite off-BC
 
-    def _ensure():
-        nonlocal aux
-        if aux is None:
-            nchan = (vs.d if nonhybrid_u else 0) + vs.q * len(hybrids)
-            aux = np.zeros((nchan,) + shape, np.float32)
-        return aux
+    def _keep(idx):
+        return np.all((idx >= 0) & (idx < np.asarray(shape)[: vs.d, None]), axis=0)
 
-    # first pass: does any BC need the velocity channels?  (decides layout)
-    for bc in stepper.boundary_conditions:
-        if isinstance(bc, HalfwayBounceBackBC) and bc.needs_moving_wall_treatment and _is_spatial_profile(bc):
-            nonhybrid_u = True
-        elif isinstance(bc, (ZouHeBC, RegularizedBC)) and bc.bc_type == "velocity":
-            if np.asarray(bc.prescribed_values).size != vs.d:
-                nonhybrid_u = True
-
-    if hybrids:
-        # per-BC q-channel blocks in boundary-condition order -- matches
-        # aux_layout's bc_specs walk (same underlying list, keyed by id)
-        field = _ensure()
-        w_off = vs.d if nonhybrid_u else 0
-        for bc in hybrids:
+    for bc, spec in zip(stepper.boundary_conditions, bc_specs):
+        if spec.get("kind") == "hybrid" and spec.get("use_dist"):
             if bc._distances is None:
                 raise NotImplementedError(
                     "HybridBC mesh distances are computed during prepare_fields; build the fused kernel after it"
                 )
-            field[w_off : w_off + vs.q] = 0.5
+            w_off = w_offs[bc.id]
+            aux[w_off : w_off + vs.q] = 0.5
             vals = np.where(np.isfinite(bc._distances), bc._distances, 0.5).astype(np.float32)
             vals = np.clip(vals, 0.0, 1.0)
             idx = np.asarray(bc._distance_voxels, dtype=np.int64)
-            keep = np.all((idx >= 0) & (idx < np.asarray(shape)[:, None]), axis=0)
+            keep = _keep(idx)
             for l in range(vs.q):
-                field[(w_off + l,) + tuple(idx[:, keep])] = vals[l, keep]
-            w_off += vs.q
-
-    for bc in stepper.boundary_conditions:
-        if isinstance(bc, HalfwayBounceBackBC) and bc.needs_moving_wall_treatment and _is_spatial_profile(bc):
+                aux[(w_off + l,) + tuple(idx[:, keep])] = vals[l, keep]
+        elif isinstance(spec.get("mw"), str) and spec["mw"] == "aux":
             if bc.indices is None:
                 raise NotImplementedError(
                     "spatial-profile BCs need voxel indices before the fused kernel is built "
@@ -170,21 +163,24 @@ def build_aux_field(stepper):
             # directions live (matches bc_bounce_back._moving_wall_term)
             idx = np.asarray(bc.pad_indices(), dtype=np.int64)
             vals = np.asarray(bc.profile(idx.astype(np.float64)), dtype=np.float32)
-            keep = np.all((idx >= 0) & (idx < np.asarray(shape)[:, None]), axis=0)
-            _ensure()[(slice(0, vs.d),) + tuple(idx[:, keep])] = vals[:, keep]
-        elif isinstance(bc, (ZouHeBC, RegularizedBC)) and bc.bc_type == "velocity":
-            values = np.asarray(bc.prescribed_values, dtype=np.float32)
-            if values.size == vs.d:
-                continue  # constant vector rides the spec, not the aux field
+            keep = _keep(idx)
+            aux[(slice(u_off, u_off + vs.d),) + tuple(idx[:, keep])] = vals[:, keep]
+        elif isinstance(spec.get("value"), str) and spec["value"] in ("aux", "aux_rho"):
             if bc.indices is None:
                 raise NotImplementedError("spatial ZouHe/Regularized profiles need voxel indices (run prepare_fields)")
             # spatial profile: prescribed_values broadcasts over the domain
             # (bc_zouhe._broadcast_prescribed semantics); sample at the BC voxels
             from xlb_tpu.boundary.bc_zouhe import _broadcast_prescribed
 
-            full = np.broadcast_to(_broadcast_prescribed(values, (vs.d,) + shape), (vs.d,) + shape)
+            values = np.asarray(bc.prescribed_values, dtype=np.float32)
             idx = np.asarray(bc.indices, dtype=np.int64)
-            _ensure()[(slice(0, vs.d),) + tuple(idx)] = full[(slice(None),) + tuple(idx)]
+            keep = _keep(idx)
+            if spec["value"] == "aux":
+                full = np.broadcast_to(_broadcast_prescribed(values, (vs.d,) + shape), (vs.d,) + shape)
+                aux[(slice(u_off, u_off + vs.d),) + tuple(idx[:, keep])] = full[(slice(None),) + tuple(idx[:, keep])]
+            else:
+                full = np.broadcast_to(_broadcast_prescribed(values, (1,) + shape), (1,) + shape)
+                aux[(rho_off,) + tuple(idx[:, keep])] = full[(0,) + tuple(idx[:, keep])]
     return aux
 
 
@@ -284,9 +280,11 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
     force_vector = stepper_force_vector(stepper)
     pp = stepper.precision_policy
     aux_np = build_aux_field(stepper)
-    if shape_override is not None and aux_np is not None:
-        raise NotImplementedError("spatial-BC aux fields are grid-shaped; they cannot ride a shape_override step")
-    aux_dev = None if aux_np is None else jnp.asarray(aux_np)
+    # grid-shaped aux cannot be pre-sliced for an override shape (e.g. an
+    # out-of-core padded slab): the caller passes the matching slab-shaped
+    # aux at run time instead (``step(..., aux=slab_aux)``)
+    extern_aux = shape_override is not None and aux_np is not None
+    aux_dev = None if (aux_np is None or extern_aux) else jnp.asarray(aux_np)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -408,15 +406,15 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
         return out[..., :logical_z] if z_pad else out
 
     def _fwd(f_0, bc_mask, missing_mask, omega, aux):
-        return fused_core(f_0, bc_mask, missing_mask, omega, aux), (f_0, bc_mask, missing_mask, omega)
+        return fused_core(f_0, bc_mask, missing_mask, omega, aux), (f_0, bc_mask, missing_mask, omega, aux)
 
     def _bwd(res, g):
         import numpy as _np
 
-        f_0, bc_mask, missing_mask, omega = res
+        f_0, bc_mask, missing_mask, omega, aux = res
         if fused_bwd is not None:
             mask_i32 = _packed_masks(bc_mask, missing_mask)
-            df, dom_field = fused_bwd(_pad_f(f_0), _pad_z(g), mask_i32, omega, aux=aux_dev)
+            df, dom_field = fused_bwd(_pad_f(f_0), _pad_z(g), mask_i32, omega, aux=aux)
             if z_pad:
                 df = df[..., :logical_z]
             df = df.astype(f_0.dtype)
@@ -428,14 +426,14 @@ def build_fused_step(stepper, tile=None, interpret=None, kernel="dma", shape_ove
         def _zero(x):
             return _np.zeros(_np.shape(x), dtype=jax.dtypes.float0)
 
-        daux = None if aux_dev is None else jnp.zeros_like(aux_dev)
+        daux = None if aux is None else jnp.zeros_like(aux)
         return df, _zero(bc_mask), _zero(missing_mask), dom, daux
 
     fused_core.defvjp(_fwd, _bwd)
 
-    def step(f_0, f_1, bc_mask, missing_mask, omega, timestep=0):
+    def step(f_0, f_1, bc_mask, missing_mask, omega, timestep=0, aux=None):
         omega = jnp.asarray(omega, dtype=pp.compute_dtype)
-        return f_0, fused_core(f_0, bc_mask, missing_mask, omega, aux_dev)
+        return f_0, fused_core(f_0, bc_mask, missing_mask, omega, aux_dev if aux is None else aux)
 
     return step
 
@@ -445,7 +443,10 @@ def build_fused_ade_step(stepper, tile=None, interpret=None):
     of stream + voxel-local BCs + linear-equilibrium BGK relaxation, with
     the ADVECTING velocity streamed in per tile as d aux channels (it
     changes every step in coupled flows, so it rides as a kernel ARGUMENT,
-    unlike the build-time aux constants of the NSE step).
+    unlike the build-time aux constants of the NSE step).  Spatial-BC aux
+    channels (profile walls, spatial Dirichlet values), when present,
+    follow at offset d (``aux_layout(base=d)``); non-128-multiple z
+    extents are padded internally exactly like ``build_fused_step``.
 
     Returns ``(g_0, g_1, bc_mask, missing_mask, omega_phi, u, timestep) ->
     (g_0, g_1)``.  Forward-only (no custom_vjp) -- differentiate through
@@ -455,9 +456,11 @@ def build_fused_ade_step(stepper, tile=None, interpret=None):
     shape = tuple(stepper.grid.shape)
     pp = stepper.precision_policy
     bc_specs = [bc_to_spec(bc, vs) for bc in stepper.boundary_conditions]
+    aux_bc_np = build_aux_field(stepper)  # static BC channels, laid after the velocity block
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    z_pad, logical_z = 0, None
     if vs.d == 2:
         from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
 
@@ -471,19 +474,51 @@ def build_fused_ade_step(stepper, tile=None, interpret=None):
         from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
 
         if shape[2] % 128 != 0:
-            raise NotImplementedError("fused ADE needs a 128-multiple z extent (manual-DMA lane rule)")
+            # same internal lane padding as build_fused_step: pad columns
+            # are solid keep-out cells, lane rolls wrap at the logical z.
+            # No blocked-kernel ADE variant exists, so interpret mode pays
+            # the pad-lane compute instead of falling back.
+            z_pad = (-shape[2]) % 128
+            logical_z = shape[2]
+            shape = (shape[0], shape[1], shape[2] + z_pad)
         fused = build_fused_collide_stream_3d_dma(
             vs, shape, collision="BGK", bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
-            tile=tile or _auto_tile(shape, vs.q, jnp.dtype(pp.store_dtype).itemsize, vs.d),
+            tile=tile or _auto_tile(
+                shape, vs.q, jnp.dtype(pp.store_dtype).itemsize,
+                vs.d + (aux_bc_np.shape[0] if aux_bc_np is not None else 0),
+            ),
             interpret=interpret,
             has_solids=getattr(stepper, "has_solids", True), ade=True,
+            logical_z=logical_z,
         )
+    if z_pad and aux_bc_np is not None:
+        aux_bc_np = np.pad(aux_bc_np, ((0, 0),) * 3 + ((0, z_pad),))
+    aux_bc_dev = None if aux_bc_np is None else jnp.asarray(aux_bc_np)
+
+    def _pad_z(x, value=0):
+        if not z_pad:
+            return x
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, z_pad),), constant_values=value)
+
+    def _pad_g(x):
+        # resting-equilibrium pad columns (g = w, i.e. phi = 1, u = 0):
+        # inert under the solid keep-out, NaN-free under recompute
+        if not z_pad:
+            return x
+        w_col = jnp.broadcast_to(
+            jnp.asarray(vs._w, x.dtype).reshape((-1,) + (1,) * 3), x.shape[:-1] + (z_pad,)
+        )
+        return jnp.concatenate([x, w_col], axis=-1)
 
     def step(g_0, g_1, bc_mask, missing_mask, omega_phi, u, timestep=0):
-        mask_i32 = pack_masks(bc_mask, missing_mask)
+        mask_i32 = pack_masks(_pad_z(bc_mask, 255), _pad_z(missing_mask, False))
         omega_c = jnp.asarray(omega_phi, dtype=pp.compute_dtype)
-        return g_0, fused(g_0, mask_i32, omega_c, aux=u.astype(jnp.float32))
+        aux = _pad_z(u.astype(jnp.float32))
+        if aux_bc_dev is not None:
+            aux = jnp.concatenate([aux, aux_bc_dev], axis=0)
+        out = fused(_pad_g(g_0), mask_i32, omega_c, aux=aux)
+        return g_0, (out[..., :logical_z] if z_pad else out)
 
     return step
 
@@ -514,6 +549,7 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
 
+    z_pad, logical_z = 0, None
     if vs.d == 2:
         from xlb_tpu.kernels.collide_stream_2d import build_fused_collide_stream_2d
 
@@ -527,7 +563,11 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
         from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
 
         if shape[2] % 128 != 0:
-            raise NotImplementedError("fused forced step needs a 128-multiple z extent (manual-DMA lane rule)")
+            # same internal lane padding as build_fused_step (no blocked
+            # extern-force kernel variant, so interpret mode pads too)
+            z_pad = (-shape[2]) % 128
+            logical_z = shape[2]
+            shape = (shape[0], shape[1], shape[2] + z_pad)
         fused = build_fused_collide_stream_3d_dma(
             vs, shape, collision=kernel_collision_spec(stepper), bc_specs=bc_specs,
             compute_dtype=pp.compute_dtype, store_dtype=pp.store_dtype,
@@ -537,15 +577,34 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
             ),
             interpret=interpret,
             has_solids=getattr(stepper, "has_solids", True), extern_force=True,
+            logical_z=logical_z,
         )
+    if z_pad and aux_bc_np is not None:
+        aux_bc_np = np.pad(aux_bc_np, ((0, 0),) * 3 + ((0, z_pad),))
+    aux_bc_dev = None if aux_bc_np is None else jnp.asarray(aux_bc_np)
+
+    def _pad_z(x, value=0):
+        if not z_pad:
+            return x
+        return jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, z_pad),), constant_values=value)
+
+    def _pad_f(x):
+        # resting-equilibrium pad columns (see build_fused_step._pad_f)
+        if not z_pad:
+            return x
+        w_col = jnp.broadcast_to(
+            jnp.asarray(vs._w, x.dtype).reshape((-1,) + (1,) * 3), x.shape[:-1] + (z_pad,)
+        )
+        return jnp.concatenate([x, w_col], axis=-1)
 
     def step(f_0, f_1, bc_mask, missing_mask, omega, force_field, timestep=0):
-        mask_i32 = pack_masks(bc_mask, missing_mask)
+        mask_i32 = pack_masks(_pad_z(bc_mask, 255), _pad_z(missing_mask, False))
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
-        aux = force_field.astype(jnp.float32)
-        if aux_bc_np is not None:
-            aux = jnp.concatenate([aux, jnp.asarray(aux_bc_np)], axis=0)
-        return f_0, fused(f_0, mask_i32, omega_c, aux=aux)
+        aux = _pad_z(force_field.astype(jnp.float32))
+        if aux_bc_dev is not None:
+            aux = jnp.concatenate([aux, aux_bc_dev], axis=0)
+        out = fused(_pad_f(f_0), mask_i32, omega_c, aux=aux)
+        return f_0, (out[..., :logical_z] if z_pad else out)
 
     return step
 
@@ -583,7 +642,12 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     has_solids = getattr(stepper, "has_solids", True)
     force_vector = stepper_force_vector(stepper)
     aux_np = build_aux_field(stepper)
-    aux_dev = None if aux_np is None else jnp.asarray(aux_np)
+    # grid-shaped aux cannot be pre-sliced for an override shape (e.g. an
+    # out-of-core padded slab): the caller passes the matching slab-shaped
+    # aux at run time instead (``run(..., aux=slab_aux)``; ooc.py streams
+    # it as one more tiled operand)
+    extern_aux = shape_override is not None and aux_np is not None
+    aux_dev = None if (aux_np is None or extern_aux) else jnp.asarray(aux_np)
 
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -591,8 +655,6 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     # shape_override runs the window on a different (static) domain shape
     # than the stepper's grid -- e.g. an out-of-core padded slab (ooc.py)
     shape = tuple(shape_override) if shape_override is not None else stepper.grid.shape
-    if shape_override is not None and aux_dev is not None:
-        raise NotImplementedError("spatial-BC aux fields are grid-shaped; they cannot ride a shape_override window")
 
     fused2 = None
     z_pad, logical_z = 0, None
@@ -803,7 +865,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             f_out = f_out[..., :logical_z]
         return f_out, f_out
 
-    def run(f_0, f_1, bc_mask, missing_mask, omega):
-        return _run(f_0, f_1, bc_mask, missing_mask, omega, aux_dev)
+    def run(f_0, f_1, bc_mask, missing_mask, omega, aux=None):
+        return _run(f_0, f_1, bc_mask, missing_mask, omega, aux_dev if aux is None else aux)
 
     return run
