@@ -22,9 +22,13 @@ backward fits the same one-HBM-pass manual-DMA structure as the forward:
 The Jacobian-transpose is never derived by hand: ``jax.vjp`` runs at trace
 time inside the kernel body, so every collision model (BGK/KBC/LES),
 forcing, and voxel-local BC epilogue the forward supports differentiates
-automatically.  Extrapolation-outflow staging reads tangential neighbors
-(not voxel-local) and is rejected -- such configs fall back to the
-jnp-tier VJP in fused_step.py.
+automatically.  Extrapolation-outflow staging reads TANGENTIAL neighbors
+raw_m[y - t] (|t| <= 1 per axis); these enter the VJP as a third input
+category alongside fs/fp -- one extra slab per static (m, t) pair, read
+from the same depth-2 primal halo (a tangential +1 x-offset needs the
+depth-2 column exactly for the c_x = +1 channels the DMA already loads)
+-- and sweep B adds the gather df_m[x] += h_st[x + t].  So every BC the
+fused forward supports now has a fused backward.
 
 The per-voxel omega cotangent rides an extra output channel (q) and is
 reduced outside the kernel; summing inside over the extended region would
@@ -45,12 +49,39 @@ from jax.experimental.pallas import tpu as pltpu
 from xlb_tpu.kernels.collide_stream import _build_kernel_body, _roll_lane
 from xlb_tpu.kernels.collide_stream_dma import _channel_ranges
 
-ADJOINT_UNSUPPORTED_KINDS = ("extrapolation_outflow",)
+ADJOINT_UNSUPPORTED_KINDS = ()
 
 
 def adjoint_supported(bc_specs):
-    """True when every BC epilogue is voxel-local (fused-adjoint eligible)."""
+    """True when every BC epilogue is fused-adjoint eligible (all are,
+    since round 4; the hook stays for future non-local epilogues)."""
     return all(s["kind"] not in ADJOINT_UNSUPPORTED_KINDS for s in bc_specs)
+
+
+def staging_keys(bc_specs, velocity_set):
+    """Static (m, x0, y0, tz) tuples of the tangential staging reads the
+    forward's extrapolation-outflow epilogue performs (mirrors the loop in
+    collide_stream.pointwise_core's staging section)."""
+    c = velocity_set._c
+    opp = velocity_set._opp_indices
+    d, q = velocity_set.d, velocity_set.q
+    keys = []
+    for spec in bc_specs:
+        if spec["kind"] != "extrapolation_outflow":
+            continue
+        n = spec["normal"]
+        for l in range(q):
+            m = int(opp[l])
+            if d == 3:
+                t = (int(n[0] + c[0, m]), int(n[1] + c[1, m]), int(n[2] + c[2, m]))
+            else:
+                t = (int(n[0] + c[0, m]), 0, int(n[1] + c[1, m]))
+            if any(abs(tc) > 1 for tc in t):
+                continue
+            key = (m, 1 - t[0], 1 - t[1], t[2])
+            if key not in keys:
+                keys.append(key)
+    return keys
 
 
 def build_fused_adjoint_3d(
@@ -106,8 +137,13 @@ def build_fused_adjoint_3d(
     ch_xhi = _channel_ranges(np.nonzero(c[0] == -1)[0].tolist())
 
     # the solid keep-out and any f_pre-reading BC make fp inputs live
-    # (hybrid epilogues read f_pre in every method branch)
-    need_fp = has_solids or any(s["kind"] in ("do_nothing", "halfway", "hybrid") for s in bc_specs)
+    # (hybrid epilogues read f_pre in every method branch; extrapolation
+    # outflow's streaming phase reads f_pre(opp))
+    need_fp = has_solids or any(
+        s["kind"] in ("do_nothing", "halfway", "hybrid", "extrapolation_outflow") for s in bc_specs
+    )
+    # tangential staged reads (extrapolation outflow): extra VJP inputs
+    st_keys = staging_keys(bc_specs, velocity_set)
 
     # primal buffer: depth-2 x halo (K=2 layout), 8-row y blocks
     BXf, BYf = TX + 4, TY + 16
@@ -149,10 +185,10 @@ def build_fused_adjoint_3d(
     def kernel(omega_ref, f_hbm, g_hbm, mask_hbm, *rest):
         if use_aux:
             aux_hbm = rest[0]
-            df_out, dom_out, fbuf, gbuf, mbuf, abuf, hfs, hfp, hom, sems = rest[1:]
+            df_out, dom_out, fbuf, gbuf, mbuf, abuf, hfs, hfp, hst, hom, sems = rest[1:]
         else:
             aux_hbm = abuf = None
-            df_out, dom_out, fbuf, gbuf, mbuf, hfs, hfp, hom, sems = rest
+            df_out, dom_out, fbuf, gbuf, mbuf, hfs, hfp, hst, hom, sems = rest
         it = pl.program_id(0) * nY + pl.program_id(1)
         slot = jax.lax.rem(it, 2)
         nxt = jax.lax.rem(it + 1, 2)
@@ -228,51 +264,80 @@ def build_fused_adjoint_3d(
         # gradient), so the Jacobian-transpose ignores it automatically
         aux_ext = abuf[slot, :, 0:TXe, 7 : 7 + TYe, :].astype(cdt) if use_aux else None
         om_field = jnp.full((TXe, TYe, Z), omega, cdt)
+        # staged tangential slabs, PRE-rolled along z outside the vjp
+        # (pltpu.roll has no differentiation rule); the cotangent is then
+        # un-rolled by -tz in sweep B
+        st_ext = tuple(
+            _roll_lane(read_f(m, x0, y0), tz, logical=logical_z) for (m, x0, y0, tz) in st_keys
+        )
+
+        def _staging_read_from(st):
+            stmap = dict(zip(st_keys, st))
+            return lambda m, x0, y0, tz: stmap[(m, x0, y0, tz)]
 
         if need_fp:
 
-            def phi(fs, fp, om):
-                outs = pointwise_core(list(fs), lambda l: fp[l], mask_ext, om, aux_ext)
+            def phi(fs, fp, st, om):
+                outs = pointwise_core(
+                    list(fs), lambda l: fp[l], mask_ext, om, aux_ext,
+                    staging_read=_staging_read_from(st) if st_keys else None,
+                )
                 return tuple(outs)
 
-            _, vjp_fn = jax.vjp(phi, tuple(fs_ext), fp_ext, om_field)
-            dfs, dfp, dom = vjp_fn(g_ext)
+            _, vjp_fn = jax.vjp(phi, tuple(fs_ext), fp_ext, st_ext, om_field)
+            dfs, dfp, dst, dom = vjp_fn(g_ext)
         else:
 
-            def phi(fs, om):
-                outs = pointwise_core(list(fs), None, mask_ext, om, aux_ext)
+            def phi(fs, st, om):
+                outs = pointwise_core(
+                    list(fs), None, mask_ext, om, aux_ext,
+                    staging_read=_staging_read_from(st) if st_keys else None,
+                )
                 return tuple(outs)
 
-            _, vjp_fn = jax.vjp(phi, tuple(fs_ext), om_field)
-            dfs, dom = vjp_fn(g_ext)
+            _, vjp_fn = jax.vjp(phi, tuple(fs_ext), st_ext, om_field)
+            dfs, dst, dom = vjp_fn(g_ext)
             dfp = None
 
         for l in range(q):
             hfs[l] = dfs[l]
             if need_fp:
                 hfp[l] = dfp[l]
+        for k in range(len(st_keys)):
+            hst[k] = dst[k]
         hom[...] = dom
 
         # ---- sweep B: gather df_m[x] = h_fs_m[x + c_m] (+ h_fp_m[x]) ------
         # cotangents leave in the COMPUTE dtype: quantizing gradients to a
         # 16-bit store dtype would silently degrade them relative to the
         # jnp-tier VJP fallback (advisor finding, round 2)
+        df_acc = []
         for m in range(q):
             cx, cy, cz = int(c[0, m]), int(c[1, m]), int(c[2, m])
             dm = _roll_lane(hfs[m, 1 + cx : 1 + cx + TX, 1 + cy : 1 + cy + TY, :], -cz, logical=logical_z)
             if need_fp:
                 dm = dm + hfp[m, 1 : 1 + TX, 1 : 1 + TY, :]
-            df_out[m] = dm.astype(compute_dtype)
+            df_acc.append(dm)
+        # staged-slab cotangents: st(y) = raw_m[y - t] (t = (tx, ty, tz)
+        # tangential, |t| <= 1), so raw_m[x] collects h_st[x + t] -- the
+        # xy shifts stay within the TXe/TYe halo, z via the inverse roll
+        for k, (m, x0, y0, tz) in enumerate(st_keys):
+            tx, ty = 1 - x0, 1 - y0
+            df_acc[m] = df_acc[m] + _roll_lane(
+                hst[k, 1 + tx : 1 + tx + TX, 1 + ty : 1 + ty + TY, :], -tz, logical=logical_z
+            )
+        for m in range(q):
+            df_out[m] = df_acc[m].astype(compute_dtype)
         dom_out[...] = hom[1 : 1 + TX, 1 : 1 + TY, :].astype(compute_dtype)
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # primal f stays in HBM
-        pl.BlockSpec(memory_space=pltpu.ANY),  # cotangent g stays in HBM
-        pl.BlockSpec(memory_space=pltpu.ANY),  # packed mask stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # primal f stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # cotangent g stays in HBM
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),  # packed mask stays in HBM
     ]
     if use_aux:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # aux stays in HBM
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY))  # aux stays in HBM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(nX, nY),
@@ -292,6 +357,7 @@ def build_fused_adjoint_3d(
         + [
             pltpu.VMEM((q, TXe, TYe, Z), compute_dtype),
             pltpu.VMEM((q, TXe, TYe, Z) if need_fp else (1, 1, 1, Z), compute_dtype),
+            pltpu.VMEM((len(st_keys), TXe, TYe, Z) if st_keys else (1, 1, 1, Z), compute_dtype),
             pltpu.VMEM((TXe, TYe, Z), compute_dtype),
             pltpu.SemaphoreType.DMA((2, n_dmas)),
         ],
