@@ -19,16 +19,24 @@ inlet exercises the per-voxel prescribed-velocity path (aux channels in
 the fused tier); drag/lift use the momentum-exchange method
 (ops/force.py::MomentumTransfer, reference momentum_transfer.py:180-212).
 
-Run: python examples/cfd/cylinder_benchmark_schafer_turek.py [--d 40]
-Measured on one TPU v5e (jnp tier, f32), converging toward the intervals
-with resolution as expected for a staircase halfway-bounce-back cylinder:
+The cylinder wall defaults to HybridBC interpolated bounce-back with EXACT
+per-link circle distances (geometry/distances.py::implicit_link_distances;
+the reference's curved-BC machinery, bc_hybrid.py:39-391, is Warp/3D-only
+so it cannot run this 2D case at all).  Measured on one TPU v5e (jnp tier,
+f32):
 
-    D=40 (881x166, 156 s):   Cd_max 3.319  Cl_max 1.080  St 0.2961
-    D=60 (1321x247, 145 s):  Cd_max 3.310  Cl_max 1.063  St 0.2983
+    default (D=60, U=0.035, hybrid):  Cd_max 3.2253  Cl_max 0.9964  St 0.2994
+        -- ALL THREE inside the published intervals.
+    D=40, U=0.05,  hybrid:            Cd_max 3.2379  Cl_max 1.0104  St 0.2979
+    D=60, U=0.025, hybrid:            Cd_max 3.2093  Cl_max 0.9903  St 0.2994
+    D=60, U=0.05,  staircase:         Cd_max 3.310   Cl_max 1.063   St 0.2983
 
-St lands inside the published interval already at D=40; Cd/Cl carry the
-+2-3% / +5-8% first-order error of a staircase halfway-bounce-back
-cylinder and shrink with D.
+The sweep separates the two error terms: the staircase wall carries a
++2-3% bias that the curved-wall distances remove; what remains is the
+compressibility bias (+~Ma^2, pushes UP, see U=0.05) against the
+second-order discretization error (pushes DOWN, see U=0.025), which
+balance inside the intervals at the default (D=60, U=0.035).
+Asserted in-suite by tests/models/test_schafer_turek.py (real-chip tier).
 """
 
 import sys as _sys, pathlib as _pl
@@ -42,12 +50,13 @@ import xlb_tpu as xlb
 from xlb_tpu.velocity_set import D2Q9
 from xlb_tpu.grid import grid_factory
 from xlb_tpu.models import IncompressibleNavierStokesStepper
-from xlb_tpu.boundary import RegularizedBC, HalfwayBounceBackBC
+from xlb_tpu.boundary import RegularizedBC, HalfwayBounceBackBC, HybridBC
+from xlb_tpu.geometry.distances import implicit_link_distances
 from xlb_tpu.ops import MomentumTransfer
 
 
-def run(d=40, re=100.0, u_mean=0.05, transient_periods=60, measure_periods=15,
-        collision="BGK", verbose=True):
+def run(d=60, re=100.0, u_mean=0.035, transient_periods=60, measure_periods=15,
+        collision="BGK", cylinder_bc="hybrid", hybrid_method="bounceback", verbose=True):
     """Returns (cd_max, cl_max, strouhal) over the measurement window."""
     import jax
     import jax.numpy as jnp
@@ -85,7 +94,21 @@ def run(d=40, re=100.0, u_mean=0.05, transient_periods=60, measure_periods=15,
     prescribed = np.zeros((2, 1, ny))
     prescribed[0, 0] = prof
 
-    bc_cyl = HalfwayBounceBackBC(indices=cyl_idx.tolist())
+    if cylinder_bc == "staircase":
+        bc_cyl = HalfwayBounceBackBC(indices=cyl_idx.tolist())
+    else:
+        # curved wall: interpolated bounce-back with EXACT per-link circle
+        # crossings (the 2D analytic analogue of the reference's 3D-only
+        # Warp ray-cast distances, bc_hybrid.py:39-391 + ray.py:62-77)
+        bc_cyl = HybridBC(bc_method=hybrid_method, indices=cyl_idx.tolist())
+        shell = bc_cyl.pad_indices()
+
+        def inside(pts):
+            return (pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2 <= (d / 2.0) ** 2
+
+        bc_cyl.set_link_distances(
+            shell, implicit_link_distances(inside, shell.astype(np.float64), bc_cyl.velocity_set._c)
+        )
     bcs = [
         HalfwayBounceBackBC(indices=walls.tolist()),
         RegularizedBC("velocity", profile=lambda: prescribed, indices=box_ne["left"]),
@@ -142,7 +165,7 @@ def run(d=40, re=100.0, u_mean=0.05, transient_periods=60, measure_periods=15,
     strouhal = d / (steps_per_period * u_mean)
 
     if verbose:
-        print(f"Schafer-Turek 2D-2 (D={d}, {nx}x{ny}, Re={re}, {collision}):")
+        print(f"Schafer-Turek 2D-2 (D={d}, {nx}x{ny}, Re={re}, {collision}, cylinder={cylinder_bc}):")
         print(f"  Cd_max = {cd_max:.4f}   (benchmark 3.2200 - 3.2400)")
         print(f"  Cl_max = {cl_max:.4f}   (benchmark 0.9900 - 1.0100)")
         print(f"  St     = {strouhal:.4f}   (benchmark 0.2950 - 0.3050)")
@@ -153,11 +176,16 @@ def run(d=40, re=100.0, u_mean=0.05, transient_periods=60, measure_periods=15,
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--d", type=int, default=40, help="cylinder diameter in lattice units")
+    p.add_argument("--d", type=int, default=60, help="cylinder diameter in lattice units")
+    p.add_argument("--u-mean", type=float, default=0.035, help="mean inlet velocity (lattice units)")
     p.add_argument("--re", type=float, default=100.0)
     p.add_argument("--collision", default="BGK")
+    p.add_argument("--cylinder-bc", default="hybrid", choices=["staircase", "hybrid"])
+    p.add_argument("--hybrid-method", default="bounceback",
+                   choices=["bounceback", "bounceback_regularized", "bounceback_grads", "nonequilibrium_regularized"])
     p.add_argument("--transient-periods", type=int, default=60)
     p.add_argument("--measure-periods", type=int, default=15)
     args = p.parse_args()
-    run(d=args.d, re=args.re, collision=args.collision,
+    run(d=args.d, re=args.re, u_mean=args.u_mean, collision=args.collision,
+        cylinder_bc=args.cylinder_bc, hybrid_method=args.hybrid_method,
         transient_periods=args.transient_periods, measure_periods=args.measure_periods)

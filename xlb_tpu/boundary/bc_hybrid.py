@@ -1,8 +1,13 @@
 """Hybrid curved-boundary condition (interpolated bounce-back + closure).
 
 Parity with reference bc_hybrid.py:39-391 (Warp/Neon-only, 3D-only there)
-and its helper math (helper_functions_bc.py:150-340).  Three methods:
+and its helper math (helper_functions_bc.py:150-340).  Four methods (the
+first is an upgrade beyond the reference's three):
 
+- ``bounceback``: plain Yu-Mei-Shyy single-node interpolated bounce-back
+  of the missing populations, no reconstruction of the known ones -- the
+  least diffusive choice, used by the quantitative curved-wall benchmarks
+  (examples/cfd/cylinder_benchmark_schafer_turek.py).
 - ``bounceback_regularized``: Yu-Mei-Shyy single-node interpolated
   bounce-back for the missing populations, then Latt-Chopard regularization
   of all populations from (rho, u) of the post-BB state.
@@ -24,7 +29,7 @@ from xlb_tpu.ops.equilibrium import quadratic_equilibrium
 from xlb_tpu.ops.macroscopic import density, velocity, momentum_flux
 from xlb_tpu.ops.stencil_math import stencil_contract
 
-_METHODS = ("bounceback_regularized", "bounceback_grads", "nonequilibrium_regularized")
+_METHODS = ("bounceback", "bounceback_regularized", "bounceback_grads", "nonequilibrium_regularized")
 
 
 class HybridBC(BoundaryCondition):
@@ -68,7 +73,14 @@ class HybridBC(BoundaryCondition):
 
     # ------------------------------------------------------------------
     def compute_mesh_distances(self):
-        """Populate per-voxel directional wall distances from the mesh."""
+        """Populate per-voxel directional wall distances from the mesh.
+
+        Stored in the MISSING-direction convention: ``_distances[l]`` is
+        the weight consumed when direction ``l`` is missing, i.e. the
+        crossing fraction along ``c_opp(l)`` (the wall sits behind the
+        pull source ``x - c_l``).  This mirrors the reference decoder,
+        which reads the aux slot at ``opp(direction)``
+        (bc_hybrid.py:209-212, masker ray.py:62-77)."""
         from xlb_tpu.geometry.distances import directional_wall_distances
 
         if self.mesh_vertices is None or self.indices is None:
@@ -77,8 +89,23 @@ class HybridBC(BoundaryCondition):
         if tris.ndim == 2:
             tris = tris.reshape(-1, 3, 3)
         voxels = self.pad_indices()
-        self._distance_voxels = voxels
-        self._distances = directional_wall_distances(tris, voxels.astype(np.float64), self.velocity_set._c)
+        along_c = directional_wall_distances(tris, voxels.astype(np.float64), self.velocity_set._c)
+        self.set_link_distances(voxels, along_c)
+
+    def set_link_distances(self, voxels, distances_along_c):
+        """Attach externally computed per-link wall distances.
+
+        ``distances_along_c`` is (q, n) with entry [l, i] = normalized
+        crossing fraction of the link FROM voxel i ALONG ``c_l`` (inf for
+        no crossing) -- the convention of
+        ``geometry.distances.directional_wall_distances`` and
+        ``implicit_link_distances``.  Rows are re-indexed here to the
+        missing-direction convention used by both tiers' kernels.  Use
+        this for analytic / implicit geometry (e.g. a 2D cylinder) where
+        no triangle mesh exists."""
+        self._distance_voxels = np.asarray(voxels)
+        self._distances = np.asarray(distances_along_c)[self.velocity_set._opp_indices]
+        self.needs_mesh_distance = True
 
     def _weight_field(self, shape, dtype):
         """Per-(direction, voxel) interpolation weights, defaulting to the
@@ -169,14 +196,16 @@ class HybridBC(BoundaryCondition):
         boundary = self.boundary_map(bc_mask)
         weights = self._weight_field(f_post.shape[1:], f_post.dtype) if (self.needs_mesh_distance or self.bc_method == "nonequilibrium_regularized") else None
 
-        if self.bc_method in ("bounceback_regularized", "bounceback_grads"):
+        if self.bc_method in ("bounceback", "bounceback_regularized", "bounceback_grads"):
             f_bd = self._interpolated_bounceback(f_pre, f_post, missing_mask, weights)
-            rho = density(f_bd)
-            u = velocity(f_bd, rho, vs._c, f_bd.dtype)
             if self.bc_method == "bounceback_regularized":
+                rho = density(f_bd)
+                u = velocity(f_bd, rho, vs._c, f_bd.dtype)
                 feq = quadratic_equilibrium(rho, u, vs._c, vs._w, f_bd.dtype)
                 f_bd = self._regularize(f_bd, feq)
-            else:
+            elif self.bc_method == "bounceback_grads":
+                rho = density(f_bd)
+                u = velocity(f_bd, rho, vs._c, f_bd.dtype)
                 f_bd = self._grads_approximation(missing_mask, rho, u, f_bd)
         else:
             f_bd = self._tao_closure(f_pre, f_post, missing_mask, weights)

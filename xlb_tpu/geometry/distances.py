@@ -39,6 +39,50 @@ def ray_triangle_hits(origins, direction, triangles, eps=1e-12):
     return tmin
 
 
+def implicit_link_distances(inside_fn, voxels, directions, iters=48):
+    """Normalized link crossing fractions (q, n) from an implicit geometry.
+
+    ``inside_fn(points)`` maps (n, d) coordinates to a boolean "inside the
+    solid" array.  For every voxel (columns of ``voxels`` (d, n), assumed
+    OUTSIDE) and lattice direction ``c_l`` (columns of ``directions``
+    (d, q)), returns the fraction t in (0, 1] at which the link
+    ``x + t c_l`` first enters the solid, located by bisection (exact to
+    ~2^-iters of a link), or +inf when the link endpoint stays outside.
+
+    This is the analytic-geometry counterpart of
+    ``directional_wall_distances`` (triangle meshes): same output
+    convention, so the result feeds ``HybridBC.set_link_distances``
+    directly.  Used for 2D shapes (cylinders) where no mesh exists --
+    the reference's curved BC machinery is 3D/Warp-only
+    (bc_hybrid.py:110-116), so this path has no reference counterpart.
+    """
+    voxels = np.asarray(voxels, dtype=np.float64)
+    directions = np.asarray(directions, dtype=np.float64)
+    d, n = voxels.shape
+    q = directions.shape[1]
+    out = np.full((q, n), np.inf)
+    x = voxels.T  # (n, d)
+    inside0 = np.asarray(inside_fn(x), dtype=bool)
+    for l in range(q):
+        c = directions[:, l]
+        if not c.any():
+            continue
+        endpoint_in = np.asarray(inside_fn(x + c), dtype=bool)
+        cross = ~inside0 & endpoint_in
+        if not cross.any():
+            continue
+        lo = np.zeros(cross.sum())
+        hi = np.ones(cross.sum())
+        xc = x[cross]
+        for _ in range(iters):
+            mid = 0.5 * (lo + hi)
+            m_in = np.asarray(inside_fn(xc + mid[:, None] * c), dtype=bool)
+            hi = np.where(m_in, mid, hi)
+            lo = np.where(m_in, lo, mid)
+        out[l, cross] = 0.5 * (lo + hi)
+    return out
+
+
 def directional_wall_distances(triangles, voxels, directions):
     """Normalized distances (q, n): for voxel centers ``voxels`` (d, n) and
     lattice ``directions`` (d, q), the fraction t in [0, 1] of each lattice
