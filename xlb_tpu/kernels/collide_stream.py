@@ -397,17 +397,41 @@ def _build_kernel_body(
                 ds[4] = ds[5] = -pi[1] / 4.0
             beta = 0.5 * omega
             inv_beta = 1.0 / beta
-            dh = [fneq[l] - ds[l] for l in range(q)]
+            dh = [fneq[l] if ds[l] is zeros else fneq[l] - ds[l] for l in range(q)]
+            # entropic products <ds, dh>_{1/feq} and <dh, dh>_{1/feq},
+            # pair-shared: ds is even in c (ds_l == ds_opp), and with
+            # inv = 1/(feq_l feq_o) the two per-direction divisions of a
+            # pair collapse into ONE (dh_l/feq_l = dh_l feq_o inv) --
+            # 14 divides instead of 27 at q=27.  VPU divides are the
+            # costliest lanes in this block (docs/performance.md KBC
+            # roofline); pure reassociation, so jnp-tier parity holds to
+            # the usual f32 roundoff.  Directions with ds == 0 (statically
+            # known) skip the <ds, dh> term entirely.
             sp1 = None
             sp2 = None
             for l in range(q):
-                tmp = dh[l] / feq[l]
-                t1 = tmp * ds[l]
-                t2 = tmp * dh[l]
-                sp1 = t1 if sp1 is None else sp1 + t1
+                o = int(opp[l])
+                if o < l:
+                    continue  # pair handled at its lower index
+                if o == l:  # rest direction
+                    tmp = dh[l] / feq[l]
+                    t1 = None if ds[l] is zeros else tmp * ds[l]
+                    t2 = tmp * dh[l]
+                else:
+                    inv = 1.0 / (feq[l] * feq[o])
+                    a = dh[l] * feq[o]
+                    b = dh[o] * feq[l]
+                    t1 = None if ds[l] is zeros else ds[l] * ((a + b) * inv)
+                    t2 = (dh[l] * a + dh[o] * b) * inv
+                if t1 is not None:
+                    sp1 = t1 if sp1 is None else sp1 + t1
                 sp2 = t2 if sp2 is None else sp2 + t2
             gamma = inv_beta - (2.0 - inv_beta) * sp1 / (cdt(1e-32) + sp2)
-            return [f_s[l] - beta * (2.0 * ds[l] + gamma * dh[l]) for l in range(q)]
+            return [
+                f_s[l] - beta * (gamma * dh[l]) if ds[l] is zeros
+                else f_s[l] - beta * (2.0 * ds[l] + gamma * dh[l])
+                for l in range(q)
+            ]
         raise ValueError(f"unsupported collision {collision!r} in fused kernel")
 
     def _zouhe_epilogue(spec, on, missing, f_s, aux=None):
