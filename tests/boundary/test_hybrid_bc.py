@@ -14,9 +14,9 @@ from xlb_tpu.geometry import sphere_triangles
 from xlb_tpu.geometry.distances import directional_wall_distances, ray_triangle_hits
 from xlb_tpu.ops import Macroscopic
 
-pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
 
 
+@pytest.mark.fast
 def test_ray_triangle_hits_analytic():
     # unit triangle in the z=2 plane; ray along +z from origin hits at t=2
     tri = np.array([[[0, -1, 2], [2, 1, 2], [-2, 1, 2]]], dtype=np.float64)
@@ -25,6 +25,7 @@ def test_ray_triangle_hits_analytic():
     assert np.isinf(t[1])
 
 
+@pytest.mark.fast
 def test_directional_distances_sphere():
     vs = init_env(D3Q19)
     tris = sphere_triangles(center=(8, 8, 8), radius=3.0, subdivisions=3)
@@ -39,7 +40,7 @@ def test_directional_distances_sphere():
     assert np.isinf(d[l_plus_x, 0])
 
 
-@pytest.mark.parametrize("method", ["bounceback_regularized", "bounceback_grads", "nonequilibrium_regularized"])
+@pytest.mark.parametrize("method", ["bounceback_regularized", "bounceback_grads", pytest.param("nonequilibrium_regularized", marks=pytest.mark.fast)])
 def test_hybrid_methods_stable_on_mesh_sphere(method):
     vs = init_env(D3Q19)
     nx, nyz = 32, 16

@@ -11,9 +11,9 @@ from xlb_tpu.helper import create_nse_fields
 from xlb_tpu.boundary import FullwayBounceBackBC, HalfwayBounceBackBC, IndicesBoundaryMasker
 import pytest
 
-pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
 
 
+@pytest.mark.fast
 def test_domain_boundary_masker_2d():
     vs = init_env(D2Q9)
     grid = grid_factory((16, 16))

@@ -50,7 +50,6 @@ def _padded_setup(z_pad):
     return vs, shape, st, f0, f1, bm, mm, f0p, mask_p
 
 
-@pytest.mark.fast
 def test_zpad_dma_kernel_matches_jnp_tier():
     from xlb_tpu.kernels.fused_step import bc_to_spec
     from xlb_tpu.kernels.collide_stream_dma import build_fused_collide_stream_3d_dma
@@ -72,7 +71,6 @@ def test_zpad_dma_kernel_matches_jnp_tier():
     )
 
 
-@pytest.mark.fast
 def test_zpad_kstep_kernel_matches_k_jnp_steps():
     from xlb_tpu.kernels.fused_step import bc_to_spec
     from xlb_tpu.kernels.collide_stream_2step import build_fused_collide_stream_3d_kstep

@@ -69,7 +69,6 @@ def test_gradient_through_steps_matches_finite_difference():
     np.testing.assert_allclose(float(g_u[0, 5, 7]), float(fd_u), rtol=5e-2, atol=1e-9)
 
 
-@pytest.mark.fast
 def test_gradient_with_boundary_conditions():
     """Gradients flow through masked BC selects too."""
     from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC
@@ -100,6 +99,7 @@ def test_gradient_with_boundary_conditions():
     np.testing.assert_allclose(float(g), float(fd), rtol=2e-2)
 
 
+@pytest.mark.fast
 def test_gradient_through_fused_window():
     """The fused WINDOW is differentiable (round-3 VERDICT #2): reverse
     mode checkpoints the window input, replays the forward, and scans the
@@ -153,7 +153,6 @@ def test_gradient_through_fused_window():
     np.testing.assert_allclose(float(go_w), float(go_j), rtol=2e-3)
 
 
-@pytest.mark.fast
 def test_gradient_through_multires_step():
     """Multires rollouts differentiate natively on the jnp tier (the
     reference's Neon multires kernels have no backward at all): grad of a
@@ -247,7 +246,6 @@ def test_gradient_through_fused_multires_window():
     assert np.isfinite(float(jnp.abs(df).max())) and float(jnp.abs(df).max()) > 0.0
 
 
-@pytest.mark.fast
 def test_differentiable_window_jnp_tier_scan():
     """differentiable=True on a kernel-less (NAIVE) multires stepper uses
     the checkpointed scan directly (fori_loop would not reverse-

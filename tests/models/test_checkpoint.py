@@ -9,7 +9,6 @@ from xlb_tpu.grid import grid_factory
 from xlb_tpu.models import IncompressibleNavierStokesStepper
 from xlb_tpu.boundary import EquilibriumBC, HalfwayBounceBackBC
 
-pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
 
 
 def _cavity(n=16):
@@ -55,6 +54,7 @@ def test_checkpoint_resume_bit_identical(tmp_path):
     ckpt2.close()
 
 
+@pytest.mark.fast
 def test_checkpoint_sharded_async_roundtrip(tmp_path):
     """The 'distributed asynchronous' half of the reference README's
     checkpointing promise (README.md:205 -- promised there, implemented

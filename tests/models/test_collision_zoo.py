@@ -21,12 +21,12 @@ from xlb_tpu.velocity_set import D2Q9, D3Q19, D3Q27
 from xlb_tpu.grid import grid_factory
 from xlb_tpu.models import IncompressibleNavierStokesStepper
 
-pytestmark = pytest.mark.fast
 
 ALL_SETS = [D2Q9, D3Q19, D3Q27]
 
 
 @pytest.mark.parametrize("vs_cls", ALL_SETS)
+@pytest.mark.fast
 def test_mrt_projectors_partition_identity(vs_cls):
     vs = init_env(vs_cls)
     from xlb_tpu.ops.collision import mrt_projectors
@@ -47,6 +47,7 @@ def test_mrt_projectors_partition_identity(vs_cls):
 
 
 @pytest.mark.parametrize("vs_cls,shape", [(D2Q9, (8, 8)), (D3Q19, (5, 5, 5)), (D3Q27, (5, 5, 5))])
+@pytest.mark.fast
 def test_mrt_all_omega_rates_equals_bgk(vs_cls, shape):
     vs = init_env(vs_cls)
     from xlb_tpu.ops import MRT, BGK, QuadraticEquilibrium, Macroscopic
@@ -62,6 +63,7 @@ def test_mrt_all_omega_rates_equals_bgk(vs_cls, shape):
 
 
 @pytest.mark.parametrize("vs_cls,shape", [(D2Q9, (8, 8)), (D3Q19, (5, 5, 5))])
+@pytest.mark.fast
 def test_mrt_conserves_and_fixes_equilibrium(vs_cls, shape):
     vs = init_env(vs_cls)
     from xlb_tpu.ops import MRT, QuadraticEquilibrium, Macroscopic
@@ -82,6 +84,7 @@ def test_mrt_conserves_and_fixes_equilibrium(vs_cls, shape):
     np.testing.assert_allclose(np.asarray(out_eq), np.asarray(feq), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.fast
 def test_trt_reduces_to_bgk_at_matching_magic():
     """magic = (tau+ - 1/2)^2 makes omega_minus == omega, i.e. exactly BGK."""
     vs = init_env(D3Q19)
@@ -99,6 +102,7 @@ def test_trt_reduces_to_bgk_at_matching_magic():
 
 
 @pytest.mark.parametrize("vs_cls,shape", [(D2Q9, (8, 8)), (D3Q27, (5, 5, 5))])
+@pytest.mark.fast
 def test_trt_conserves_mass_momentum(vs_cls, shape):
     vs = init_env(vs_cls)
     from xlb_tpu.ops import TRT, QuadraticEquilibrium, Macroscopic
@@ -154,6 +158,7 @@ def test_taylor_green_viscosity_set_by_shear_rate_only(collision_type, params):
     assert abs(ratio - 1.0) < 0.03, f"{collision_type} KE decay off: ratio={ratio:.4f}"
 
 
+@pytest.mark.fast
 def test_power_law_n1_is_newtonian_bgk():
     """n = 1: nu = K exactly, independent of shear -- equals BGK at
     omega = 1 / (3 K + 1/2) for any seed omega."""
@@ -171,6 +176,7 @@ def test_power_law_n1_is_newtonian_bgk():
     np.testing.assert_allclose(np.asarray(out_pl), np.asarray(out_bgk), rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.fast
 def test_power_law_conserves_mass_momentum():
     vs = init_env(D2Q9)
     from xlb_tpu.ops import PowerLawBGK, QuadraticEquilibrium, Macroscopic

@@ -18,7 +18,6 @@ from xlb_tpu.ops.equilibrium import quadratic_equilibrium
 from xlb_tpu.utils import viscosity_from_omega
 import pytest
 
-pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
 
 
 def _tgv_l2_error(n, base_n=32, base_u0=0.04, base_steps=200, omega=1.6):

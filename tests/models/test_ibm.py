@@ -140,7 +140,6 @@ def test_ibm_pallas_backend_matches_jax():
     np.testing.assert_allclose(forces_pl, forces_jax, rtol=1e-5, atol=1e-7)
 
 
-@pytest.mark.fast
 def test_factored_transfer_matches_scatter_oracle():
     """The MXU-factored Peskin spread/interpolation matches the scatter/
     gather oracle to f32 roundoff (same phi values, different summation
@@ -177,7 +176,6 @@ def test_factored_transfer_matches_scatter_oracle():
     np.testing.assert_allclose(np.asarray(num_w), full[2:18, 2:16, 2:16], rtol=1e-4, atol=1e-6)
 
 
-@pytest.mark.fast
 def test_ibm_windowed_matches_full_domain():
     """ibm_window restricts the transfer to the marker AABB; the dense windowed
     transfer matches the full-domain scatter oracle (cross-validates both

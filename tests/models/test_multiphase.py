@@ -57,7 +57,6 @@ def test_phase_separation_conserves_mass():
     np.testing.assert_allclose(rho.sum(), rho0.sum(), rtol=1e-5)
 
 
-@pytest.mark.fast
 def test_static_droplet_laplace_and_spurious_currents():
     """A liquid droplet in vapor stays stationary: bounded spurious
     currents at the interface, positive Laplace pressure jump, and the

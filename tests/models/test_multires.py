@@ -19,9 +19,9 @@ from xlb_tpu.ops import Macroscopic
 from xlb_tpu.ops.equilibrium import quadratic_equilibrium
 import pytest
 
-pytestmark = pytest.mark.fast  # whole-module smoke tier (sub-5-min suite)
 
 
+@pytest.mark.fast
 def test_compute_omega_matches_reference_formula():
     # omega_L = 2^(L+1) w0 / ((2^L - 1) w0 + 2); level 0 (finest) identity
     assert np.isclose(compute_omega(1.6, 0), 1.6)
@@ -62,6 +62,7 @@ def test_uniform_flow_invariant_through_refinement():
         np.testing.assert_allclose(u[1], 0.0, atol=1e-5, err_msg=f"level {level} uy")
 
 
+@pytest.mark.fast
 def test_mass_conservation_two_levels():
     vs = init_env(D2Q9)
     grid = MultiresGrid((24, 24), boxes=[((6, 6), (8, 8))])
@@ -95,6 +96,7 @@ def test_mass_conservation_two_levels():
     assert abs(m1 / m0 - 1.0) < 2e-3, f"mass drift {m1 / m0 - 1.0:.2e}"
 
 
+@pytest.mark.fast
 def test_taylor_green_two_level_decay():
     vs = init_env(D2Q9)
     n = 64

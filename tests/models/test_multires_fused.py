@@ -35,8 +35,20 @@ def _scene(collision="BGK"):
     return grid, bcs
 
 
-@pytest.mark.parametrize("strategy", [MresPerfOptimizationType.FUSION_AT_FINEST, MresPerfOptimizationType.FUSION_AT_FINEST_SFV_ALL])
-@pytest.mark.parametrize("collision", [pytest.param("BGK", marks=pytest.mark.fast), "KBC"])
+@pytest.mark.parametrize(
+    "collision,strategy",
+    [
+        pytest.param("BGK", MresPerfOptimizationType.FUSION_AT_FINEST, id="BGK-FUSION_AT_FINEST"),
+        pytest.param(
+            "BGK",
+            MresPerfOptimizationType.FUSION_AT_FINEST_SFV_ALL,
+            id="BGK-FUSION_AT_FINEST_SFV_ALL",
+            marks=pytest.mark.fast,  # the smoke-tier fused-multires representative
+        ),
+        pytest.param("KBC", MresPerfOptimizationType.FUSION_AT_FINEST, id="KBC-FUSION_AT_FINEST"),
+        pytest.param("KBC", MresPerfOptimizationType.FUSION_AT_FINEST_SFV_ALL, id="KBC-FUSION_AT_FINEST_SFV_ALL"),
+    ],
+)
 def test_fused_multires_matches_naive(strategy, collision):
     from xlb_tpu.velocity_set import D3Q27
     from xlb_tpu.boundary.registry import boundary_condition_registry
@@ -66,7 +78,6 @@ def test_fused_multires_matches_naive(strategy, collision):
         assert diff < 5e-6, f"fused multires collide diverges from naive by {diff}"
 
 
-@pytest.mark.fast
 def test_fused_multires_bf16_shifted_tracks_f32():
     """16-bit multires storage runs the CTS pair kernel in deviation form
     (g = f - w) and every jnp coarse level shifted inside the window; the
