@@ -513,15 +513,19 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         )
 
     def _build_cts_mid(self):
-        """Fused single-sub-step kernels for MIDDLE levels whose child is
-        the fused finest pair (deepest middle only; deeper middles stay
-        jnp).  Each middle sub-step then runs collide + coalesce-overwrite
-        + ghost-ring stream in one pass over a ring-extended array: ring
-        cells carry packed cell-type 30 and the parent's lazily-collided
-        explosion faces land on the innermost ring layer, exactly like the
-        finest pair's ghosts.  Restricted to BC-less middle levels (BCs
-        inside a 30-masked ring/box would be silently skipped; typical
-        scenes put BCs on the coarsest walls and the finest mesh only)."""
+        """Fused single-sub-step kernels for MIDDLE levels (every level
+        strictly between finest and coarsest).  Each middle sub-step then
+        runs collide + coalesce-overwrite + ghost-ring stream in one pass
+        over a ring-extended array: ring cells carry packed cell-type 30
+        and the parent's lazily-collided explosion faces land on the
+        innermost ring layer, exactly like the finest pair's ghosts.
+        Middle levels stack: a fused middle's child may itself be a fused
+        middle (4+ level hierarchies advance every level in-kernel, so
+        each added level costs its own cell count, not a jnp-tier 2x).
+        Restricted to BC-less middle levels (BCs inside a 30-masked
+        ring/box would be silently skipped; typical scenes put BCs on the
+        coarsest walls and the finest mesh only) -- a middle WITH BCs
+        stays jnp without blocking fusion of the levels around it."""
         import jax as _jax
 
         from xlb_tpu.kernels.collide_then_stream import build_fused_cts_pair_thin
@@ -531,35 +535,35 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         self._mid_ring = [None] * L
         if self.grid.dim != 3 or L < 3 or self._cts is None:
             return
-        level = 1  # the deepest middle (its child is the fused finest)
-        if self.boundary_conditions.get(level, []):
-            return
-        X, Y, Z = self.grid.levels[level].shape
         interpret = _jax.default_backend() == "cpu"
-        if self._mesh is not None:
-            self._build_cts_mid_sharded(level, (X, Y, Z), interpret)
-            return
-        gz = 1
-        fx = lambda TX: None if (g := self._ring_for(X, TX)) is None else (g, (X + 2 * g) / X)
-        fy = lambda TY: None if (g := self._ring_for(Y, TY)) is None else (g, (Y + 2 * g) / Y)
-        for tile, gx, gy in _rank_tiles(fx, fy):
-            try:
-                self._cts_mid[level] = build_fused_cts_pair_thin(
-                    self.velocity_set,
-                    (X + 2 * gx, Y + 2 * gy, Z + 2 * gz),
-                    collision=self._kernel_collision,
-                    bc_specs=[],
-                    compute_dtype=self.precision_policy.compute_dtype,
-                    store_dtype=self.precision_policy.store_dtype,
-                    tile=tile,
-                    interpret=interpret,
-                    pair=False,
-                    shifted=self._cts_shifted,
-                )
-                self._mid_ring[level] = (gx, gy, gz)
-                return
-            except (NotImplementedError, ValueError, AssertionError):
+        for level in range(1, L - 1):
+            if self.boundary_conditions.get(level, []):
                 continue
+            X, Y, Z = self.grid.levels[level].shape
+            if self._mesh is not None:
+                self._build_cts_mid_sharded(level, (X, Y, Z), interpret)
+                continue
+            gz = 1
+            fx = lambda TX: None if (g := self._ring_for(X, TX)) is None else (g, (X + 2 * g) / X)
+            fy = lambda TY: None if (g := self._ring_for(Y, TY)) is None else (g, (Y + 2 * g) / Y)
+            for tile, gx, gy in _rank_tiles(fx, fy):
+                try:
+                    self._cts_mid[level] = build_fused_cts_pair_thin(
+                        self.velocity_set,
+                        (X + 2 * gx, Y + 2 * gy, Z + 2 * gz),
+                        collision=self._kernel_collision,
+                        bc_specs=[],
+                        compute_dtype=self.precision_policy.compute_dtype,
+                        store_dtype=self.precision_policy.store_dtype,
+                        tile=tile,
+                        interpret=interpret,
+                        pair=False,
+                        shifted=self._cts_shifted,
+                    )
+                    self._mid_ring[level] = (gx, gy, gz)
+                    break
+                except (NotImplementedError, ValueError, AssertionError):
+                    continue
 
     def _build_cts_mid_sharded(self, level, shape, interpret):
         """Mesh-sharded middle-level single-sub-step kernel: ring-extended
@@ -1212,19 +1216,24 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
 
     def _advance_mid_fused(self, level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state, mask_mid=None):
         """Both sub-steps of a fused MIDDLE level: per sub-step, the child
-        (finest pair) advances against lazily-collided faces, the coalesced
-        average merges into the stored state, and one kernel pass runs
-        collide + ghost-ring stream over the ring-extended box.  The
-        parent-supplied ``ghost_faces`` (kernel form, at this level's ring
-        positions) are shared by both sub-steps -- the same zeroth-order
-        coupling as everywhere else."""
+        advances its own two sub-steps against lazily-collided faces (the
+        fused finest pair, a stacked fused middle, or the jnp ghost path
+        -- whichever applies at ``level - 1``), the coalesced average
+        merges into the stored state, and one kernel pass runs collide +
+        ghost-ring stream over the ring-extended box.  The parent-supplied
+        ``ghost_faces`` (kernel form, at this level's ring positions) are
+        shared by both sub-steps -- the same zeroth-order coupling as
+        everywhere else.  ``mask_mid`` is the per-level list of hoisted
+        ring-extended masks (or None)."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         child = level - 1
         g = self._mid_ring[level]
         pads = ((0, 0),) + tuple((gi, gi) for gi in g)
         interior = (slice(None),) + tuple(slice(gi, -gi) for gi in g)
-        mask_m = mask_mid if mask_mid is not None else self._mid_mask_ext(level, bms, mms)
+        mask_m = mask_mid[level] if mask_mid is not None else None
+        if mask_m is None:
+            mask_m = self._mid_mask_ext(level, bms, mms)
         lvl_c = self.grid.levels[child]
         slc = (slice(None),) + tuple(
             slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent)
@@ -1233,10 +1242,33 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             f = pp.cast_to_compute(fs[level])
             if shifted_state:
                 f = f + self._w_col()
-            child_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._cts_ring)
-            fs, out2 = self._cts_fine_pair(
-                fs, bms, mms, omega_finest, None, ext_state=ext_state, mask_ext=mask_ext, faces=child_faces
-            )
+            if child == 0 and self._cts is not None:
+                child_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._cts_ring)
+                fs, out2 = self._cts_fine_pair(
+                    fs, bms, mms, omega_finest, None, ext_state=ext_state, mask_ext=mask_ext, faces=child_faces
+                )
+            elif self._cts_mid[child] is not None:
+                # stacked fused middles: the child's own sub-steps run
+                # in-kernel too, fed kernel-form faces at ITS ring
+                child_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._mid_ring[child])
+                fs = self._advance_mid_fused(
+                    child, fs, bms, mms, omega_finest, child_faces, ext_state, mask_ext, shifted_state, mask_mid
+                )
+                out2 = None
+            else:
+                # jnp child: zeros ghost box overlaid with the innermost
+                # lazily-collided layer (same as _advance's deeper branch)
+                faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, (1,) * self.grid.dim, for_kernel=False)
+                ghost_ext = jnp.zeros(
+                    (self.velocity_set.q,) + tuple(s + 2 for s in self.grid.levels[child].shape),
+                    pp.compute_dtype,
+                )
+                ghost_ext = self._overlay_faces(ghost_ext, faces)
+                fs = self._advance_fine_pair(
+                    child, fs, bms, mms, omega_finest, ghost_ext, None, ext_state, mask_ext, shifted_state,
+                    mask_mid=mask_mid,
+                )
+                out2 = None
             if out2 is not None:
                 avg = self._avg_from_out2(out2)
             else:
@@ -1411,10 +1443,15 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 if self._cts_coarse is not None and self._coarse_bc_placement_ok()
                 else None
             )
-            # hoist the fused middle level's ring-extended mask too (like
-            # mask_ext/mask_coarse): it is loop-invariant, and rebuilding it
-            # per coarse step costs a full-array pack+pad pass
-            mask_mid = self._mid_mask_ext(1, bms, mms) if self._cts_mid[1] is not None else None
+            # hoist every fused middle level's ring-extended mask too (like
+            # mask_ext/mask_coarse): they are loop-invariant, and rebuilding
+            # one per coarse step costs a full-array pack+pad pass
+            mask_mid = [
+                self._mid_mask_ext(l, bms, mms) if self._cts_mid[l] is not None else None
+                for l in range(L)
+            ]
+            if not any(m is not None for m in mask_mid):
+                mask_mid = None
             f0, coarse = fs[0], list(fs[1:])
             if shifted:
                 # 16-bit windows keep EVERY level's state in deviation form
