@@ -280,12 +280,19 @@ def build_distributed_fused_window(
 
 
 def _build_distributed_fused_window_2d(stepper, num_steps, tile_x=8, interpret=None, shifted=None, temporal_steps=None):
-    """2-D analogue of the 3-D windowed path: x-sharded shards keep a
-    TX-padded carry ``(q, Xl+2TX, Y)``, refresh depth-k x-pads with ring
-    ``ppermute`` per iteration, and run the padded-halo 2D (k-step) kernel
-    -- k steps of physics per ICI round trip.  y stays unsharded (it is the
-    kernel's lane-resident dimension).  Matches the reference's
-    dimension-generic distribute() (distribute.py:82-105) at fused speed."""
+    """2-D analogue of the 3-D windowed path: (x, y)-sharded shards keep a
+    pad-extended carry ``(q, Xl+2TX, Yl+2PY)``, refresh depth-k pads with
+    ring ``ppermute`` per iteration (x first, then y spanning the fresh
+    x-pads so diagonal corners arrive transitively), and run the
+    padded-halo 2D (k-step) kernel -- k steps of physics per ICI round
+    trip.  y is the kernel's lane-resident dimension, so y sharding needs
+    no kernel support at all: the kernel is built over the y-extended lane
+    extent ``Yl + 2PY`` and its periodic lane rolls only ever wrap at the
+    extended edges, which pollutes pad *outputs* exclusively -- the
+    interior reads pad columns holding fresh neighbor data and stays
+    exact, and pads are refreshed from neighbors before every pass.
+    Matches the reference's dimension-generic distribute()
+    (distribute.py:82-105) at fused speed."""
     from xlb_tpu.kernels.collide_stream_2d import (
         build_fused_collide_stream_2d,
         build_fused_collide_stream_2d_kstep,
@@ -294,11 +301,9 @@ def _build_distributed_fused_window_2d(stepper, num_steps, tile_x=8, interpret=N
     grid = stepper.grid
     vs = stepper.velocity_set
     pp = stepper.precision_policy
-    px = grid.mesh_shape[0]
-    if grid.mesh_shape[1] != 1:
-        raise NotImplementedError("2-D distributed fused path shards x only (y is the lane dimension)")
+    px, py = grid.mesh_shape[0], grid.mesh_shape[1]
     q = vs.q
-    Xl, Y = grid.shape[0] // px, grid.shape[1]
+    Xl, Yl = grid.shape[0] // px, grid.shape[1] // py
     TX = tile_x
     assert Xl % TX == 0 and TX % 8 == 0, f"tile_x {TX} must be an 8-multiple dividing the local shard x {Xl}"
 
@@ -325,29 +330,38 @@ def _build_distributed_fused_window_2d(stepper, num_steps, tile_x=8, interpret=N
         has_solids=getattr(stepper, "has_solids", True),
         force_vector=stepper_force_vector(stepper),
     )
-    local_shape = (Xl, Y)
     fused = None
     K = 1
-    for k in range(min(temporal_steps, num_steps, TX, 8), 1, -1):
+    # a depth-k pad refresh gathers from the immediate ring neighbor only,
+    # so k cannot exceed the y shard interior when y is sharded
+    k_hi = min(temporal_steps, num_steps, TX, 8, Yl if py > 1 else 8)
+    for k in range(k_hi, 1, -1):
         try:
-            fused = build_fused_collide_stream_2d_kstep(vs, local_shape, steps=k, **kw)
+            fused = build_fused_collide_stream_2d_kstep(vs, (Xl, Yl + (2 * k if py > 1 else 0)), steps=k, **kw)
             K = k
             break
         except (ValueError, AssertionError):
             continue
+    PY = K if py > 1 else 0  # lane-dim pad depth per side
+    Ye = Yl + 2 * PY  # the kernel's (y-extended) lane extent
     if fused is None:
-        fused = build_fused_collide_stream_2d(vs, local_shape, **kw)
-    fused_odd = build_fused_collide_stream_2d(vs, local_shape, **kw) if (K > 1 and num_steps % K) else None
+        fused = build_fused_collide_stream_2d(vs, (Xl, Ye), **kw)
+    fused_odd = build_fused_collide_stream_2d(vs, (Xl, Ye), **kw) if (K > 1 and num_steps % K) else None
 
     x_fwd, x_bwd = _ring_perms(px)
+    y_fwd, y_bwd = _ring_perms(py)
+    ax_x, ax_y = grid.axis_names[0], grid.axis_names[1]
 
     def _exchange(g, d):
-        """Refresh depth-``d`` x-pads of ``g`` (axis 1) over the x ring."""
+        """Refresh depth-``d`` x-pads (axis 1) then y-pads (last axis) of
+        ``g`` over the mesh rings; the y slabs span the full padded x
+        extent including the just-refreshed x-pads, so diagonal-corner
+        values arrive transitively from the diagonal neighbor."""
         lo_send = lax.slice_in_dim(g, TX, TX + d, axis=1)
         hi_send = lax.slice_in_dim(g, TX + Xl - d, TX + Xl, axis=1)
         if px > 1:
-            from_prev = lax.ppermute(hi_send, perm=x_fwd, axis_name="x")
-            from_next = lax.ppermute(lo_send, perm=x_bwd, axis_name="x")
+            from_prev = lax.ppermute(hi_send, perm=x_fwd, axis_name=ax_x)
+            from_next = lax.ppermute(lo_send, perm=x_bwd, axis_name=ax_x)
         else:  # single shard: periodic wrap stays local
             from_prev, from_next = hi_send, lo_send
         idx_lo = [0] * g.ndim
@@ -355,7 +369,30 @@ def _build_distributed_fused_window_2d(stepper, num_steps, tile_x=8, interpret=N
         g = lax.dynamic_update_slice(g, from_prev, tuple(idx_lo))
         idx_hi = [0] * g.ndim
         idx_hi[1] = TX + Xl
-        return lax.dynamic_update_slice(g, from_next, tuple(idx_hi))
+        g = lax.dynamic_update_slice(g, from_next, tuple(idx_hi))
+        if PY:
+            ax = g.ndim - 1
+            lo_send = lax.slice_in_dim(g, PY, PY + d, axis=ax)
+            hi_send = lax.slice_in_dim(g, PY + Yl - d, PY + Yl, axis=ax)
+            if py > 1:
+                from_prev = lax.ppermute(hi_send, perm=y_fwd, axis_name=ax_y)
+                from_next = lax.ppermute(lo_send, perm=y_bwd, axis_name=ax_y)
+            else:
+                from_prev, from_next = hi_send, lo_send
+            idx_lo = [0] * g.ndim
+            idx_lo[ax] = PY - d
+            g = lax.dynamic_update_slice(g, from_prev, tuple(idx_lo))
+            idx_hi = [0] * g.ndim
+            idx_hi[ax] = PY + Yl
+            g = lax.dynamic_update_slice(g, from_next, tuple(idx_hi))
+        return g
+
+    def _yext(a, fill=0):
+        """Embed ``a`` (..., Yl) at lane offset PY in a (..., Ye) buffer."""
+        if not PY:
+            return a
+        out = jnp.full(a.shape[:-1] + (Ye,), fill, a.dtype)
+        return lax.dynamic_update_slice(out, a, (0,) * (a.ndim - 1) + (PY,))
 
     def _local(f_loc, mask_loc, aux_loc, omega):
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
@@ -363,21 +400,28 @@ def _build_distributed_fused_window_2d(stepper, num_steps, tile_x=8, interpret=N
         if shifted:
             f_loc = (f_loc.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype)
 
-        g0 = jnp.zeros((q, Xl + 2 * TX, Y), pp.store_dtype)
-        g0 = lax.dynamic_update_slice(g0, f_loc, (0, TX, 0))
+        g0 = jnp.zeros((q, Xl + 2 * TX, Ye), pp.store_dtype)
+        g0 = lax.dynamic_update_slice(g0, f_loc, (0, TX, PY))
 
+        # the single-step kernels read the mask/aux at the un-x-padded
+        # local shape (Xl, Ye): interior outputs only ever consult
+        # interior mask columns, so zero (bulk) y-pads are sufficient
+        mask_1 = _yext(mask_loc)
+        aux_1 = None if aux_loc is None else _yext(aux_loc)
         if K > 1:
-            m0 = jnp.zeros((Xl + 2 * TX, Y), jnp.int32)
-            m0 = lax.dynamic_update_slice(m0, mask_loc, (TX, 0))
+            # the k-step kernel's extended-region BC lookups need REAL
+            # neighbor mask/aux out to depth K-1 (static: baked once)
+            m0 = jnp.zeros((Xl + 2 * TX, Ye), jnp.int32)
+            m0 = lax.dynamic_update_slice(m0, mask_loc, (TX, PY))
             mask_in = _exchange(m0[None], K - 1)[0]
             if aux_loc is not None:
-                a0 = jnp.zeros((nchan, Xl + 2 * TX, Y), aux_loc.dtype)
-                a0 = lax.dynamic_update_slice(a0, aux_loc, (0, TX, 0))
+                a0 = jnp.zeros((nchan, Xl + 2 * TX, Ye), aux_loc.dtype)
+                a0 = lax.dynamic_update_slice(a0, aux_loc, (0, TX, PY))
                 aux_in = _exchange(a0, K - 1)
             else:
                 aux_in = None
         else:
-            mask_in, aux_in = mask_loc, aux_loc
+            mask_in, aux_in = mask_1, aux_1
 
         def body(_, g):
             g_post = _exchange(g, K)
@@ -386,8 +430,8 @@ def _build_distributed_fused_window_2d(stepper, num_steps, tile_x=8, interpret=N
         g = lax.fori_loop(0, num_steps // K, body, g0)
         for _ in range(num_steps % K):
             g = _exchange(g, 1)
-            g = fused_odd(g, mask_loc, omega_c, aux=aux_loc)
-        f_out = lax.dynamic_slice(g, (0, TX, 0), (q, Xl, Y))
+            g = fused_odd(g, mask_1, omega_c, aux=aux_1)
+        f_out = lax.dynamic_slice(g, (0, TX, PY), (q, Xl, Yl))
         if shifted:
             f_out = f_out.astype(pp.compute_dtype) + w_shift.astype(pp.compute_dtype)
         return f_out
