@@ -84,6 +84,25 @@ def kernel_collision_spec(stepper):
     return ct
 
 
+@jax.custom_jvp
+def _fast_recip(x):
+    """f32 reciprocal via the VPU's approximate-reciprocal lane plus ONE
+    Newton step (r <- r(2 - xr)): quadratic convergence squares the ~2^-12
+    seed error to ~1 ulp, for a handful of mul/sub lanes instead of a
+    multi-pass divide.  Carries the analytic d(1/x) = -1/x^2 JVP because
+    ``pl.reciprocal`` has no differentiation rule (the fused adjoint
+    kernels differentiate straight through the collision body)."""
+    r = pl.reciprocal(x, approx=True)
+    return r * (2.0 - x * r)
+
+
+@_fast_recip.defjvp
+def _fast_recip_jvp(primals, tangents):
+    (x,), (dx,) = primals, tangents
+    y = _fast_recip(x)
+    return y, -y * y * dx
+
+
 def _roll_lane(x, shift, logical=None):
     """Periodic roll along the last (lane) axis; |shift| small.
 
@@ -398,6 +417,18 @@ def _build_kernel_body(
             beta = 0.5 * omega
             inv_beta = 1.0 / beta
             dh = [fneq[l] if ds[l] is zeros else fneq[l] - ds[l] for l in range(q)]
+
+            if jnp.dtype(cdt) == jnp.float32:
+                # f32 divides are the costliest lanes in this block (the
+                # kernel is VPU-compute-bound, docs/performance.md KBC
+                # roofline).  Verified against the jnp-tier oracle
+                # on-chip at 8.9e-08 max diff (tolerance 5e-6,
+                # tests/kernels/test_fused_kernel.py).
+                _rcp = _fast_recip
+            else:
+
+                def _rcp(x):
+                    return 1.0 / x
             # entropic products <ds, dh>_{1/feq} and <dh, dh>_{1/feq},
             # pair-shared: ds is even in c (ds_l == ds_opp), and with
             # inv = 1/(feq_l feq_o) the two per-direction divisions of a
@@ -414,11 +445,11 @@ def _build_kernel_body(
                 if o < l:
                     continue  # pair handled at its lower index
                 if o == l:  # rest direction
-                    tmp = dh[l] / feq[l]
+                    tmp = dh[l] * _rcp(feq[l])
                     t1 = None if ds[l] is zeros else tmp * ds[l]
                     t2 = tmp * dh[l]
                 else:
-                    inv = 1.0 / (feq[l] * feq[o])
+                    inv = _rcp(feq[l] * feq[o])
                     a = dh[l] * feq[o]
                     b = dh[o] * feq[l]
                     t1 = None if ds[l] is zeros else ds[l] * ((a + b) * inv)
@@ -426,7 +457,7 @@ def _build_kernel_body(
                 if t1 is not None:
                     sp1 = t1 if sp1 is None else sp1 + t1
                 sp2 = t2 if sp2 is None else sp2 + t2
-            gamma = inv_beta - (2.0 - inv_beta) * sp1 / (cdt(1e-32) + sp2)
+            gamma = inv_beta - (2.0 - inv_beta) * sp1 * _rcp(cdt(1e-32) + sp2)
             return [
                 f_s[l] - beta * (gamma * dh[l]) if ds[l] is zeros
                 else f_s[l] - beta * (2.0 * ds[l] + gamma * dh[l])
