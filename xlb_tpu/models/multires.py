@@ -945,10 +945,12 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 faces.append((tuple(idx), slab2[tuple(sl)]))
         return faces
 
-    def _fine_for_avg(self, fs, child, ext_state, shifted_state):
+    def _fine_for_avg(self, fs, child, ext_state, shifted_state, mid_ext=False):
         """The child level's populations in compute dtype, unshifted, ready
         for the fallback host-side coalescence average (the ``out2 is
-        None`` paths)."""
+        None`` paths).  ``mid_ext``: fused-middle levels' states are
+        ring-extended in kernel storage form (the resident-window path) --
+        slice the interior lazily (it fuses into the coalescence pass)."""
         pp = self.precision_policy
         f_fine = fs[child]
         shifted = False
@@ -958,6 +960,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             shifted = self._cts_shifted
         elif child > 0:
             shifted = shifted_state
+            if mid_ext and self._cts_mid[child] is not None:
+                g = self._mid_ring[child]
+                f_fine = f_fine[(slice(None),) + tuple(slice(gi, -gi) for gi in g)]
+                shifted = self._cts_shifted
         f = pp.cast_to_compute(f_fine)
         if shifted:
             f = f + self._w_col()
@@ -995,7 +1001,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         fs[level] = out
         return fs
 
-    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False, mask_coarse=None, mask_mid=None):
+    def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False, mask_coarse=None, mask_mid=None, mid_ext=False):
         """Advance ``level`` by one of its own timesteps (recursively running
         2 sub-steps of each finer level).  ``fs`` is the per-level state list
         (current populations).  ``probe``, if given, is called as
@@ -1035,9 +1041,9 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 ghost_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._mid_ring[child])
                 fs = self._advance_fine_pair(
                     child, fs, bms, mms, omega_finest, None, probe, ext_state, mask_ext, shifted_state,
-                    ghost_faces=ghost_faces, mask_mid=mask_mid,
+                    ghost_faces=ghost_faces, mask_mid=mask_mid, mid_ext=mid_ext,
                 )
-                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
+                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
             else:
                 # deeper hierarchies: the child ring only ever reads the
                 # innermost ghost layer, so a zeros ghost box overlaid with
@@ -1049,8 +1055,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                     pp.compute_dtype,
                 )
                 ghost_ext = self._overlay_faces(ghost_ext, faces)
-                fs = self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state, mask_mid=mask_mid)
-                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
+                fs = self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state, mask_mid=mask_mid, mid_ext=mid_ext)
+                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
             return self._coarse_fused_step(level, fs, avg, bms, mms, omega, shifted_state, mask_coarse)
 
         fast_full = (
@@ -1074,7 +1080,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
 
         if level > 0 and not fast_full:
             # two fine sub-steps against this level's post-collision state
-            fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state, mask_mid)
+            fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state, mask_mid, mid_ext=mid_ext)
             # pull coalesced fine state into the refined region before streaming
             if out2 is not None:
                 avg = self._avg_from_out2(out2)
@@ -1084,7 +1090,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 )
                 f_pc = f_pc.at[slc].set(avg.astype(f_pc.dtype))
             else:
-                f_pc = self._coalesce(f_pc, self._fine_for_avg(fs, child, ext_state, shifted_state), child)
+                f_pc = self._coalesce(f_pc, self._fine_for_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
 
         f_ps = stream_pull(f_pc, self.velocity_set._c)
         f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
@@ -1097,7 +1103,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         fs[level] = pp.cast_to_store(f_ps)
         return fs
 
-    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe, ext_state=False, mask_ext=None, shifted_state=False, mask_mid=None):
+    def _advance_children(self, level, fs, bms, mms, omega_finest, f_pc, probe, ext_state=False, mask_ext=None, shifted_state=False, mask_mid=None, mid_ext=False):
         """Run the two sub-steps of ``level - 1`` against this level's
         post-collision state, through the fused finest path when active
         (the force probe needs the jnp path's intermediate states)."""
@@ -1109,12 +1115,12 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             return (
                 self._advance_fine_pair(
                     child, fs, bms, mms, omega_finest, None, probe, ext_state, mask_ext, shifted_state,
-                    ghost_faces=ghost_faces, mask_mid=mask_mid,
+                    ghost_faces=ghost_faces, mask_mid=mask_mid, mid_ext=mid_ext,
                 ),
                 None,
             )
         ghost_ext = self._explode(f_pc, child)
-        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state, mask_mid=mask_mid), None
+        return self._advance_fine_pair(child, fs, bms, mms, omega_finest, ghost_ext, probe, ext_state, mask_ext, shifted_state, mask_mid=mask_mid, mid_ext=mid_ext), None
 
     def _explode_ring_faces(self, parent_pc, level, ring, store_dtype):
         """Gather only the INNERMOST ghost-ring layer (the only ring cells
@@ -1214,17 +1220,24 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             fs[0] = f0
         return fs, out2
 
-    def _advance_mid_fused(self, level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state, mask_mid=None):
+    def _advance_mid_fused(self, level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state, mask_mid=None, mid_ext=False):
         """Both sub-steps of a fused MIDDLE level: per sub-step, the child
         advances its own two sub-steps against lazily-collided faces (the
         fused finest pair, a stacked fused middle, or the jnp ghost path
         -- whichever applies at ``level - 1``), the coalesced average
-        merges into the stored state, and one kernel pass runs collide +
-        ghost-ring stream over the ring-extended box.  The parent-supplied
-        ``ghost_faces`` (kernel form, at this level's ring positions) are
-        shared by both sub-steps -- the same zeroth-order coupling as
-        everywhere else.  ``mask_mid`` is the per-level list of hoisted
-        ring-extended masks (or None)."""
+        merges into the ring-extended carry, and one kernel pass runs
+        collide + ghost-ring stream over the extended box.  The
+        parent-supplied ``ghost_faces`` (kernel form, at this level's ring
+        positions) are shared by both sub-steps and re-overlaid before each
+        (ring OUTPUTS of the pair=False kernel are garbage; the overlay is
+        six depth-1 face updates).  The pad -> (overlay, merge, kernel) x2
+        -> crop structure
+        costs ONE full-array pad and ONE crop per coarse step (the avg
+        merge touches only the refined-region slab); with ``mid_ext=True``
+        (the resident-window path, build_window) ``fs[level]`` is ALREADY
+        ring-extended in kernel storage form and even those two passes
+        disappear -- only the 6-face ring refresh remains.  ``mask_mid``
+        is the per-level list of hoisted ring-extended masks (or None)."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         child = level - 1
@@ -1235,12 +1248,30 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         if mask_m is None:
             mask_m = self._mid_mask_ext(level, bms, mms)
         lvl_c = self.grid.levels[child]
-        slc = (slice(None),) + tuple(
-            slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent)
+        slc_ext = (slice(None),) + tuple(
+            slice(o + gi, o + gi + e)
+            for (o, e, gi) in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent, g)
         )
+        if mid_ext:
+            # resident-window carry: already extended, kernel storage form
+            ext_m = fs[level]
+        else:
+            if self._cts_shifted:
+                state_in = (
+                    fs[level]
+                    if shifted_state
+                    else (pp.cast_to_compute(fs[level]) - self._w_col()).astype(pp.store_dtype)
+                )
+            else:
+                state_in = fs[level] if fs[level].dtype == pp.store_dtype else pp.cast_to_store(fs[level])
+            ext_m = jnp.pad(state_in, pads)
         for _ in range(2):
-            f = pp.cast_to_compute(fs[level])
-            if shifted_state:
+            # refresh the innermost ring layer each sub-step (ring OUTPUTS
+            # of the pair=False kernel are garbage -- edge pieces wrap
+            # modularly -- and interior pulls only ever read depth 1)
+            ext_m = self._overlay_faces(ext_m, ghost_faces)
+            f = pp.cast_to_compute(ext_m[interior])
+            if self._cts_shifted:
                 f = f + self._w_col()
             if child == 0 and self._cts is not None:
                 child_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._cts_ring)
@@ -1252,7 +1283,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 # in-kernel too, fed kernel-form faces at ITS ring
                 child_faces = self._explode_faces_lazy(level, f, bms, mms, omega, child, self._mid_ring[child])
                 fs = self._advance_mid_fused(
-                    child, fs, bms, mms, omega_finest, child_faces, ext_state, mask_ext, shifted_state, mask_mid
+                    child, fs, bms, mms, omega_finest, child_faces, ext_state, mask_ext, shifted_state,
+                    mask_mid, mid_ext=mid_ext,
                 )
                 out2 = None
             else:
@@ -1266,39 +1298,36 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 ghost_ext = self._overlay_faces(ghost_ext, faces)
                 fs = self._advance_fine_pair(
                     child, fs, bms, mms, omega_finest, ghost_ext, None, ext_state, mask_ext, shifted_state,
-                    mask_mid=mask_mid,
+                    mask_mid=mask_mid, mid_ext=mid_ext,
                 )
                 out2 = None
             if out2 is not None:
                 avg = self._avg_from_out2(out2)
             else:
-                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state), child)
-            # stored-form merge; this level is BC-less (enforced by
-            # _build_cts_mid), so there are no solids to skip
+                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
+            # stored-form merge of the refined-region slab only; this level
+            # is BC-less (enforced by _build_cts_mid), so no solids to skip
             if self._cts_shifted:
                 avg_s = (avg - self._w_col()).astype(pp.store_dtype)
-                state_in = (
-                    fs[level]
-                    if shifted_state
-                    else (pp.cast_to_compute(fs[level]) - self._w_col()).astype(pp.store_dtype)
-                )
             else:
                 avg_s = avg.astype(pp.store_dtype)
-                state_in = fs[level] if fs[level].dtype == pp.store_dtype else pp.cast_to_store(fs[level])
-            merged = state_in.at[slc].set(avg_s)
-            ext_m = self._overlay_faces(jnp.pad(merged, pads), ghost_faces)
-            out = self._cts_mid[level](ext_m, mask_m, omega)[interior]
+            ext_m = ext_m.at[slc_ext].set(avg_s)
+            ext_m = self._cts_mid[level](ext_m, mask_m, omega)
+        fs = list(fs)
+        if mid_ext:
+            fs[level] = ext_m
+        else:
+            out = ext_m[interior]
             if self._cts_shifted and not shifted_state:
                 out = pp.cast_to_compute(out) + self._w_col()
-            fs = list(fs)
             fs[level] = out
         return fs
 
-    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None, shifted_state=False, ghost_faces=None, mask_mid=None):
+    def _advance_fine_pair(self, level, fs, bms, mms, omega_finest, ghost_ext, probe=None, ext_state=False, mask_ext=None, shifted_state=False, ghost_faces=None, mask_mid=None, mid_ext=False):
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
         if ghost_faces is not None:
-            return self._advance_mid_fused(level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state, mask_mid)
+            return self._advance_mid_fused(level, fs, bms, mms, omega_finest, ghost_faces, ext_state, mask_ext, shifted_state, mask_mid, mid_ext=mid_ext)
         for _ in range(2):
             f = pp.cast_to_compute(fs[level])
             if shifted_state and level > 0:
@@ -1306,7 +1335,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             f_pc = self._collide_with_bcs(level, f, bms[level], mms[level], omega)
             f_pc = self._freeze_solids(level, f, f_pc, bms)
             if level > 0:
-                fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state, mask_mid)
+                fs, out2 = self._advance_children(level, fs, bms, mms, omega_finest, f_pc, probe, ext_state, mask_ext, shifted_state, mask_mid, mid_ext=mid_ext)
                 if out2 is not None:
                     avg = self._avg_from_out2(out2)
                     lvl_c = self.grid.levels[level - 1]
@@ -1315,7 +1344,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                     )
                     f_pc = f_pc.at[slc].set(avg.astype(f_pc.dtype))
                 else:
-                    f_pc = self._coalesce(f_pc, self._fine_for_avg(fs, level - 1, ext_state, shifted_state), level - 1)
+                    f_pc = self._coalesce(f_pc, self._fine_for_avg(fs, level - 1, ext_state, shifted_state, mid_ext=mid_ext), level - 1)
             f_ps = self._stream_with_ghosts(f_pc, ghost_ext, level)
             f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
             f_ps = self._freeze_solids(level, f, f_ps, bms)
@@ -1463,16 +1492,39 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 wcol = self._w_col()
                 f0 = (pp.cast_to_compute(f0) - wcol).astype(pp.store_dtype)
                 coarse = [(pp.cast_to_compute(fv) - wcol).astype(pp.store_dtype) for fv in coarse]
+            # fused-middle levels' states stay ring-extended across the
+            # whole window too (mid_ext): their per-coarse-step pad/crop
+            # round trips (two full HBM copies per level per step) reduce
+            # to one pad before and one crop after, exactly like the finest
+            mid_ext = any(self._cts_mid[l] is not None for l in range(1, L))
+            mid_pads = [
+                ((0, 0),) + tuple((gi, gi) for gi in self._mid_ring[l])
+                if self._cts_mid[l] is not None
+                else None
+                for l in range(L)
+            ]
+            coarse = [
+                jnp.pad(pp.cast_to_store(fv) if fv.dtype != pp.store_dtype else fv, mid_pads[l + 1])
+                if mid_pads[l + 1] is not None
+                else fv
+                for l, fv in enumerate(coarse)
+            ]
             state = [jnp.pad(f0, pad_w)] + coarse
 
             def body(i, s):
                 return self._advance(
                     L - 1, list(s), bms, mms, omega_finest, ext_state=True, mask_ext=mask_ext,
-                    shifted_state=shifted, mask_coarse=mask_coarse, mask_mid=mask_mid,
+                    shifted_state=shifted, mask_coarse=mask_coarse, mask_mid=mask_mid, mid_ext=mid_ext,
                 )
 
             state = jax.lax.fori_loop(0, num_coarse_steps, body, state)
             f0_out, coarse_out = state[0][interior], list(state[1:])
+            coarse_out = [
+                sv[(slice(None),) + tuple(slice(gi, -gi) for gi in self._mid_ring[l + 1])]
+                if mid_pads[l + 1] is not None
+                else sv
+                for l, sv in enumerate(coarse_out)
+            ]
             if shifted:
                 wcol = self._w_col()
                 f0_out = pp.cast_to_compute(f0_out) + wcol
