@@ -290,6 +290,7 @@ def build_fused_cts_pair_thin(
     coalesce_out=False,
     shifted=False,
     pair=True,
+    ring_freeze=None,
 ):
     """Thin-piece collide-then-stream PAIR over a ring-extended level array.
 
@@ -336,7 +337,17 @@ def build_fused_cts_pair_thin(
     cell-type 30 so they keep their pre-merged coalesced values through
     the collide and stream normally -- one HBM pass replaces the jnp
     collide + coalesce + stream + BC chain (models/multires.py::_advance).
-    """
+
+    ``ring_freeze=(gx, gy, gz)`` (pair=False middle levels): cells whose
+    GLOBAL ext coordinate lies in the outer ring re-emit their input value
+    at the output instead of the streamed pull.  Without it ring outputs
+    are garbage (edge pieces wrap modularly), forcing the caller to
+    re-overlay the same parent faces before every sub-step -- a full
+    read+write of the extended array each.  With it the faces persist in
+    the carry, so a fused middle's TWO sub-steps (which share one parent
+    explosion) need only ONE overlay per coarse step.  Coordinates (not
+    packed cell-type 30) distinguish the ring from the refined region,
+    which also carries 30 but must stream normally."""
     vs = velocity_set
     q, d = vs.q, vs.d
     assert d == 3, "the CTS pair kernel is 3-D"
@@ -446,6 +457,20 @@ def build_fused_cts_pair_thin(
         else:
             # single sub-step on the (TX+2, TY+2) view -> the (TX, TY) core
             f_core = substep([v[1:-1, 1:-1, :] for v in f_pre], packed_A[1:-1, 1:-1, :], omega)
+            if ring_freeze is not None:
+                # outer-ring cells re-emit their input: parent faces persist
+                # in the carry across both sub-steps of a coarse step
+                rgx, rgy, rgz = ring_freeze
+                i, j = pl.program_id(0), pl.program_id(1)
+                xg = jax.lax.broadcasted_iota(jnp.int32, (TX, TY, Zl), 0) + i * TX
+                yg = jax.lax.broadcasted_iota(jnp.int32, (TX, TY, Zl), 1) + j * TY
+                zg = jax.lax.broadcasted_iota(jnp.int32, (TX, TY, Zl), 2)
+                ring = (xg < rgx) | (xg >= Xe - rgx) | (yg < rgy) | (yg >= Ye - rgy)
+                if rgz:
+                    ring = ring | (zg < rgz) | (zg >= Zl - rgz)
+                f_core = [
+                    jnp.where(ring, f_pre[l][2 : TX + 2, 2 : TY + 2, :], f_core[l]) for l in range(q)
+                ]
         for l in range(q):
             v = (f_core[l] - cdt(w[l]) if shifted else f_core[l]).astype(store_dtype)
             out[l] = v

@@ -165,6 +165,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         self._cts_coarse = None  # fused single-sub-step kernel for the coarsest level
         self._cts_mid = [None] * grid.num_levels  # fused sub-step kernels for middle levels
         self._mid_ring = [None] * grid.num_levels
+        self._mid_persist = [False] * grid.num_levels
         self._coarse_fused_ok = None  # lazy host-side BC-placement gate
         self.active_finest_tier = "jnp"
         self.active_coarsest_tier = "jnp"
@@ -533,6 +534,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         L = self.grid.num_levels
         self._cts_mid = [None] * L
         self._mid_ring = [None] * L
+        self._mid_persist = [False] * L  # ring_freeze built in: faces survive the kernel pass
         if self.grid.dim != 3 or L < 3 or self._cts is None:
             return
         interpret = _jax.default_backend() == "cpu"
@@ -559,8 +561,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                         interpret=interpret,
                         pair=False,
                         shifted=self._cts_shifted,
+                        ring_freeze=(gx, gy, gz),
                     )
                     self._mid_ring[level] = (gx, gy, gz)
+                    self._mid_persist[level] = True
                     break
                 except (NotImplementedError, ValueError, AssertionError):
                     continue
@@ -892,7 +896,13 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         """Post-collision populations of the parent layers ``pis`` along
         ``axis`` (the only coarse cells the child's ghost explosion reads),
         collided in one batched call -- both sides of an axis share one
-        moments/equilibrium/collide sweep instead of two."""
+        moments/equilibrium/collide sweep instead of two.
+
+        The slab comes from the MATERIALIZED compute-dtype parent ``f``
+        via one take per axis: extracting the layers straight from the
+        raw stored carry was measured 3.4 ms/coarse-step SLOWER on the
+        96^3 3-level scene -- a 2-layer z slab is a lane-dim slice, which
+        relayouts the whole array (CLAUDE.md), three times per sub-step."""
         sel = np.asarray(pis)
         f_slab = jnp.take(f, sel, axis=axis + 1)
         f_pc = self._collide(f_slab, omega)
@@ -1265,11 +1275,17 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             else:
                 state_in = fs[level] if fs[level].dtype == pp.store_dtype else pp.cast_to_store(fs[level])
             ext_m = jnp.pad(state_in, pads)
-        for _ in range(2):
-            # refresh the innermost ring layer each sub-step (ring OUTPUTS
-            # of the pair=False kernel are garbage -- edge pieces wrap
-            # modularly -- and interior pulls only ever read depth 1)
+        persist = self._mid_persist[level]
+        if persist:
+            # ring_freeze kernels re-emit ring inputs: one overlay serves
+            # both sub-steps (they share the parent explosion anyway)
             ext_m = self._overlay_faces(ext_m, ghost_faces)
+        for _ in range(2):
+            if not persist:
+                # refresh the innermost ring layer each sub-step (ring
+                # OUTPUTS of a freeze-less kernel are garbage -- edge
+                # pieces wrap modularly; interior pulls only read depth 1)
+                ext_m = self._overlay_faces(ext_m, ghost_faces)
             f = pp.cast_to_compute(ext_m[interior])
             if self._cts_shifted:
                 f = f + self._w_col()
