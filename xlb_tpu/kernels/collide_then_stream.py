@@ -357,7 +357,10 @@ def build_fused_cts_pair_thin(
     assert TX % 2 == 0 and TY % 8 == 0, "TX must be even (2-wide x strips), TY an 8-multiple"
     assert Ye % 8 == 0, "the 8-row y-halo blocks must tile the y extent"
     if coalesce_out:
-        assert pair, "coalesce_out is a pair-mode (finest level) feature"
+        # pair mode (finest level) or single-sub-step middle levels: the
+        # 2x2 x/y-summed core rides out as a second output either way, so
+        # the PARENT's coalescence reads the 4x smaller array instead of
+        # the full child interior
         assert TY % 16 == 0 and Xe % 2 == 0, "coalesce_out needs 8-mult TY/2 sublanes"
     nX, nY = Xe // TX, Ye // TY
     cdt = compute_dtype

@@ -166,6 +166,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         self._cts_mid = [None] * grid.num_levels  # fused sub-step kernels for middle levels
         self._mid_ring = [None] * grid.num_levels
         self._mid_persist = [False] * grid.num_levels
+        self._mid_coalesce = [False] * grid.num_levels
+        self._pending_mid_avg = {}  # level -> out2 of its last kernel pass (same-trace stash)
         self._coarse_fused_ok = None  # lazy host-side BC-placement gate
         self.active_finest_tier = "jnp"
         self.active_coarsest_tier = "jnp"
@@ -535,6 +537,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         self._cts_mid = [None] * L
         self._mid_ring = [None] * L
         self._mid_persist = [False] * L  # ring_freeze built in: faces survive the kernel pass
+        self._mid_coalesce = [False] * L  # kernel also emits the 2x2-summed core
         if self.grid.dim != 3 or L < 3 or self._cts is None:
             return
         interpret = _jax.default_backend() == "cpu"
@@ -549,6 +552,15 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             fx = lambda TX: None if (g := self._ring_for(X, TX)) is None else (g, (X + 2 * g) / X)
             fy = lambda TY: None if (g := self._ring_for(Y, TY)) is None else (g, (Y + 2 * g) / Y)
             for tile, gx, gy in _rank_tiles(fx, fy):
+                # in-kernel 2x2 x/y coalescence: the PARENT's explosion-free
+                # average then reads the 4x smaller side output instead of
+                # this level's full interior (same gates as the finest pair)
+                co = (
+                    gx % 2 == 0
+                    and gy % 2 == 0
+                    and tile[1] % 16 == 0
+                    and (self.precision_policy.store_dtype == jnp.float32 or self._cts_shifted)
+                )
                 try:
                     self._cts_mid[level] = build_fused_cts_pair_thin(
                         self.velocity_set,
@@ -562,9 +574,11 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                         pair=False,
                         shifted=self._cts_shifted,
                         ring_freeze=(gx, gy, gz),
+                        coalesce_out=co,
                     )
                     self._mid_ring[level] = (gx, gy, gz)
                     self._mid_persist[level] = True
+                    self._mid_coalesce[level] = co
                     break
                 except (NotImplementedError, ValueError, AssertionError):
                     continue
@@ -826,25 +840,47 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         w = np.asarray(self.velocity_set._w, dtype=np.dtype(self.precision_policy.compute_dtype))
         return w.reshape((-1,) + (1,) * self.grid.dim)
 
-    def _avg_from_out2(self, out2):
-        """Finish the fine->coarse average from the pair kernel's 2x2
+    def _avg_from_out2(self, out2, level=0):
+        """Finish the fine->coarse average from a CTS kernel's 2x2
         x/y-summed side output: slice the interior, z-pair sum, scale.
         When the kernel stores deviations (shifted), out2 holds deviation
-        sums -- add the weight back after scaling.
+        sums -- add the weight back after scaling.  ``level``: the CHILD
+        level the out2 came from (0 = finest pair kernel; >0 = a fused
+        middle's single-sub-step kernel).
 
         The z-pair sum uses a reshape-split rather than strided lane
         slices: measured 2.2 vs 2.9 ms on the 192^3 scene (stride-2 lane
         gathers relayout the whole array; the trailing (Z/2, 2) split
         keeps lanes contiguous)."""
         cdt = self.precision_policy.compute_dtype
-        gx, gy, gz = self._cts_ring
-        X, Y, Z = self.grid.levels[0].shape
+        gx, gy, gz = self._cts_ring if level == 0 else self._mid_ring[level]
+        X, Y, Z = self.grid.levels[level].shape
         sl = out2[:, gx // 2 : (gx + X) // 2, gy // 2 : (gy + Y) // 2, gz : gz + Z]
         sl = sl.astype(cdt)
         avg = sl.reshape(sl.shape[:-1] + (Z // 2, 2)).sum(-1) * cdt(0.125)
         if self._cts_shifted:
             avg = avg + self._w_col()
         return avg
+
+    def _child_avg(self, fs, child, ext_state, shifted_state, mid_ext=False):
+        """The child level's fine->coarse average for the parent merge.
+        Prefers the stashed in-kernel 2x2-summed side output of the child's
+        LAST kernel pass (``_pending_mid_avg``, set by _advance_mid_fused
+        when its kernel was built with coalesce_out) -- the host then only
+        z-pair-sums the 4x smaller array instead of reading the child's
+        whole interior.  Falls back to the jnp average otherwise."""
+        out2 = self._pending_mid_avg.pop(child, None)
+        if out2 is not None:
+            return self._avg_from_out2(out2, level=child)
+        return self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
+
+    def _coalesce_from_avg(self, f_coarse, avg, level_fine):
+        """Write a precomputed fine->coarse average into the refined cells."""
+        lvl = self.grid.levels[level_fine]
+        slc = (slice(None),) + tuple(
+            slice(o, o + e) for o, e in zip(lvl.origin_in_parent, lvl.extent_in_parent)
+        )
+        return f_coarse.at[slc].set(avg.astype(f_coarse.dtype))
 
     def _coalesce(self, f_coarse, f_fine, level_fine):
         """Average 2^d fine children into the refined coarse cells."""
@@ -1024,6 +1060,10 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         packed mask for the fused coarsest pass (windows hoist it)."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
+        if level == self.grid.num_levels - 1:
+            # fresh trace step: drop any stale stashed side outputs (a
+            # tracer from an aborted earlier trace must never leak in)
+            self._pending_mid_avg = {}
         f = pp.cast_to_compute(fs[level])
         if shifted_state and level > 0:
             f = f + self._w_col()
@@ -1053,7 +1093,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                     child, fs, bms, mms, omega_finest, None, probe, ext_state, mask_ext, shifted_state,
                     ghost_faces=ghost_faces, mask_mid=mask_mid, mid_ext=mid_ext,
                 )
-                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
+                avg = self._child_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext)
             else:
                 # deeper hierarchies: the child ring only ever reads the
                 # innermost ghost layer, so a zeros ghost box overlaid with
@@ -1100,7 +1140,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 )
                 f_pc = f_pc.at[slc].set(avg.astype(f_pc.dtype))
             else:
-                f_pc = self._coalesce(f_pc, self._fine_for_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
+                f_pc = self._coalesce_from_avg(f_pc, self._child_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
 
         f_ps = stream_pull(f_pc, self.velocity_set._c)
         f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
@@ -1320,7 +1360,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             if out2 is not None:
                 avg = self._avg_from_out2(out2)
             else:
-                avg = self._coalesce_avg(self._fine_for_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext), child)
+                avg = self._child_avg(fs, child, ext_state, shifted_state, mid_ext=mid_ext)
             # stored-form merge of the refined-region slab only; this level
             # is BC-less (enforced by _build_cts_mid), so no solids to skip
             if self._cts_shifted:
@@ -1328,7 +1368,15 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             else:
                 avg_s = avg.astype(pp.store_dtype)
             ext_m = ext_m.at[slc_ext].set(avg_s)
-            ext_m = self._cts_mid[level](ext_m, mask_m, omega)
+            out = self._cts_mid[level](ext_m, mask_m, omega)
+            if self._mid_coalesce[level]:
+                ext_m, m_out2 = out
+            else:
+                ext_m, m_out2 = out, None
+        if m_out2 is not None:
+            # stash the LAST sub-step's 2x2-summed core for the parent's
+            # coalescence (consumed immediately in the same trace)
+            self._pending_mid_avg[level] = m_out2
         fs = list(fs)
         if mid_ext:
             fs[level] = ext_m
@@ -1360,7 +1408,7 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                     )
                     f_pc = f_pc.at[slc].set(avg.astype(f_pc.dtype))
                 else:
-                    f_pc = self._coalesce(f_pc, self._fine_for_avg(fs, level - 1, ext_state, shifted_state, mid_ext=mid_ext), level - 1)
+                    f_pc = self._coalesce_from_avg(f_pc, self._child_avg(fs, level - 1, ext_state, shifted_state, mid_ext=mid_ext), level - 1)
             f_ps = self._stream_with_ghosts(f_pc, ghost_ext, level)
             f_ps = self._apply_bcs(ImplementationStep.STREAMING, level, f_pc, f_ps, bms[level], mms[level])
             f_ps = self._freeze_solids(level, f, f_ps, bms)
