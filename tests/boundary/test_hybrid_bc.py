@@ -40,7 +40,7 @@ def test_directional_distances_sphere():
     assert np.isinf(d[l_plus_x, 0])
 
 
-@pytest.mark.parametrize("method", ["bounceback_regularized", "bounceback_grads", pytest.param("nonequilibrium_regularized", marks=pytest.mark.fast)])
+@pytest.mark.parametrize("method", ["bounceback", "bounceback_regularized", "bounceback_grads", pytest.param("nonequilibrium_regularized", marks=pytest.mark.fast)])
 def test_hybrid_methods_stable_on_mesh_sphere(method):
     vs = init_env(D3Q19)
     nx, nyz = 32, 16

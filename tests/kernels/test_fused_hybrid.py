@@ -34,7 +34,7 @@ def _sphere_config(method, use_mesh_distance=True, prescribed_value=None):
     return IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
 
 
-@pytest.mark.parametrize("method", ["bounceback_regularized", "bounceback_grads", "nonequilibrium_regularized"])
+@pytest.mark.parametrize("method", ["bounceback", "bounceback_regularized", "bounceback_grads", "nonequilibrium_regularized"])
 def test_fused_hybrid_matches_jnp_tier(method):
     vs = init_env(D3Q19)
     stepper = _sphere_config(method)
@@ -70,6 +70,49 @@ def test_fused_hybrid_no_distance_and_moving_wall():
         ga, gb = fused(ga, gb, bm, mm, 1.5, t)
         ga, gb = gb, ga
     assert float(jnp.abs(fa - ga).max()) < 5e-6
+
+
+@pytest.mark.parametrize("method", ["bounceback_regularized", "nonequilibrium_regularized"])
+def test_fused_hybrid_spatial_moving_wall_matches_jnp_tier(method):
+    """HybridBC with a spatial (coordinate-taking) wall-velocity profile —
+    a rotating sphere — runs fully in-kernel via the aux velocity channels
+    and matches the jnp tier (the round-4 fused hole at fused_step.py:73)."""
+    vs = init_env(D3Q19)
+    nx, nyz = 24, 16
+    grid = grid_factory((nx, nyz, nyz), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    tris = sphere_triangles(center=(nx / 2, nyz / 2, nyz / 2), radius=3.2, subdivisions=2)
+    center = np.array([nx / 2, nyz / 2, nyz / 2])
+
+    def rotating(coords):  # omega x r about the z axis through the center
+        r = np.asarray(coords, dtype=np.float64) - center[:, None]
+        om = 0.02
+        return np.stack([-om * r[1], om * r[0], np.zeros_like(r[0])])
+
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "top", "front", "back", "right")], axis=1), axis=1
+    )
+    bcs = [
+        FullwayBounceBackBC(indices=walls.tolist()),
+        EquilibriumBC(rho=1.0, u=(0.03, 0.0, 0.0), indices=box_ne["left"]),
+        HybridBC(bc_method=method, mesh_vertices=tris, profile=rotating),
+    ]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    f0, f1, bm, mm = stepper.prepare_fields()
+    hybrid = stepper.boundary_conditions[-1]
+    assert hybrid._distances is not None and np.isfinite(hybrid._distances).any()
+
+    fused = build_fused_step(stepper, tile=(8, 8), interpret=True)
+    fa, fb = f0, f1
+    ga, gb = f0, f1
+    for t in range(3):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+        ga, gb = fused(ga, gb, bm, mm, 1.5, t)
+        ga, gb = gb, ga
+    diff = float(jnp.abs(fa - ga).max())
+    assert diff < 5e-6, f"hybrid spatial mw {method}: fused diverges from jnp tier by {diff}"
 
 
 def test_fused_hybrid_differentiates_without_solids():

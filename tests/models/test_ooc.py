@@ -223,3 +223,34 @@ def test_ooc_sharded_mesh_matches_single_device():
     solver = OOCNSESolver(stepper2, num_tiles=4, steps_per_sweep=2, sharding=shard).prepare()
     got = solver.run(4, omega=1.5)
     np.testing.assert_allclose(got, expected, rtol=1e-5, atol=1e-7)
+
+
+def test_ooc_jnp_tier_rejects_slab_varying_prescription():
+    """The jnp tile path re-runs BC objects per x-slab, which silently
+    misapplies prescriptions varying along the slabbed axis; the solver
+    must reject them loudly (advisor r4) and point at the fused tier."""
+    import pytest
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.boundary import DoNothingBC, RegularizedBC, FullwayBounceBackBC
+
+    init_env(D3Q19)
+    n, nz = 16, 32
+    grid = grid_factory((n, n, nz), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    box = grid.bounding_box_indices()
+    box_ne = grid.bounding_box_indices(remove_edges=True)
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("front", "back", "left", "right")], axis=1), axis=1
+    )
+    # inflow on the BOTTOM face prescribing a velocity that varies along x
+    # (the OOC-slabbed axis): broadcast shape (3, X, Y, 1) with X > 1
+    prescribed = np.zeros((3, n, n, 1))
+    prescribed[2] = 0.03 * (1.0 + 0.5 * np.linspace(-1, 1, n))[:, None, None]
+    bcs = [
+        FullwayBounceBackBC(indices=walls.tolist()),
+        RegularizedBC("velocity", profile=lambda: prescribed, indices=box_ne["bottom"]),
+        DoNothingBC(indices=box_ne["top"]),
+    ]
+    stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+    solver = OOCNSESolver(stepper, num_tiles=2, steps_per_sweep=1, tier="jnp").prepare()
+    with pytest.raises(NotImplementedError, match="slabbed axis"):
+        solver.run(1, omega=1.5)

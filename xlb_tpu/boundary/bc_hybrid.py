@@ -119,13 +119,39 @@ class HybridBC(BoundaryCondition):
         return field
 
     def _u_wall_term(self, f_post):
-        """6 w_l (c_l . u_wall) moving-wall correction, or 0."""
+        """6 w_l (c_l . u_wall) moving-wall correction and the wall
+        velocity, or (0.0, None).
+
+        Constant walls return a broadcastable host constant and the (d, 1)
+        velocity.  Spatial (coordinate-taking) profiles are evaluated once
+        at the dilated fluid-side shell and scattered on device — both the
+        (q, ...) correction field and the (d, ...) wall-velocity field —
+        mirroring HalfwayBounceBackBC._moving_wall_term (the reference
+        evaluates profile functionals per-thread, bc_hybrid.py:39-391)."""
         if not self.needs_moving_wall_treatment:
             return 0.0, None
+        import inspect
+
         vs = self.velocity_set
-        u_wall = np.asarray(self.profile(), dtype=np.float64).reshape(vs.d, 1)
-        mw = 6.0 * vs._w[:, None] * (vs._c.T.astype(np.float64) @ u_wall)
-        return mw.reshape((-1,) + (1,) * (f_post.ndim - 1)).astype(np.dtype(f_post.dtype)), u_wall
+        dtype = np.dtype(f_post.dtype)
+        takes_coords = len(inspect.signature(self.profile).parameters) >= 1
+        if not takes_coords:
+            u_wall = np.asarray(self.profile(), dtype=np.float64).reshape(vs.d, 1)
+            mw = 6.0 * vs._w[:, None] * (vs._c.T.astype(np.float64) @ u_wall)
+            return mw.reshape((-1,) + (1,) * (f_post.ndim - 1)).astype(dtype), u_wall
+        if self.indices is None:
+            raise ValueError(
+                "a spatial wall-velocity profile requires voxel indices (mesh-based BCs: run prepare_fields first)"
+            )
+        idx = self.pad_indices()  # (d, n): the fluid shell where missing dirs live
+        u_wall = np.asarray(self.profile(np.asarray(idx, dtype=np.float64)), dtype=np.float64)
+        assert u_wall.shape == (vs.d, idx.shape[1]), f"profile returned {u_wall.shape}, expected {(vs.d, idx.shape[1])}"
+        mw = 6.0 * vs._w[:, None] * (vs._c.T.astype(np.float64) @ u_wall)  # (q, n)
+        mw_field = jnp.zeros((vs.q,) + f_post.shape[1:], dtype=dtype)
+        mw_field = mw_field.at[(slice(None),) + tuple(idx)].set(mw.astype(dtype))
+        uw_field = jnp.zeros((vs.d,) + f_post.shape[1:], dtype=dtype)
+        uw_field = uw_field.at[(slice(None),) + tuple(idx)].set(u_wall.astype(dtype))
+        return mw_field, uw_field
 
     # ------------------------------------------------------------------
     def _interpolated_bounceback(self, f_pre, f_post, missing_mask, weights):
@@ -179,9 +205,12 @@ class HybridBC(BoundaryCondition):
         w_l = vs._w.astype(np.dtype(f_pre.dtype)).reshape((-1,) + (1,) * (f_pre.ndim - 1))
         if self.needs_moving_wall_treatment:
             _, u_wall = self._u_wall_term(f_post)
-            u_wall_field = jnp.asarray(np.broadcast_to(u_wall, (vs.d, 1)).astype(np.dtype(f_pre.dtype))).reshape(
-                (vs.d,) + (1,) * (f_pre.ndim - 1)
-            ) + jnp.zeros_like(u)
+            if isinstance(u_wall, np.ndarray):  # constant wall: broadcast host value
+                u_wall_field = jnp.asarray(np.broadcast_to(u_wall, (vs.d, 1)).astype(np.dtype(f_pre.dtype))).reshape(
+                    (vs.d,) + (1,) * (f_pre.ndim - 1)
+                ) + jnp.zeros_like(u)
+            else:  # spatial profile: already a (d, ...) device field
+                u_wall_field = u_wall
             feq_wall = quadratic_equilibrium(rho, u_wall_field, vs._c, vs._w, f_pre.dtype)
         else:
             feq_wall = w_l * rho  # zero-velocity equilibrium

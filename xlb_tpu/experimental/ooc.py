@@ -327,6 +327,43 @@ class OOCNSESolver:
         del f_0, f_1
         return self
 
+    def _check_jnp_slab_broadcast(self):
+        """Fail loudly on BC configurations the jnp tile path would silently
+        misapply.  It re-runs the stepper's own BC objects on each padded
+        x-slab, which is only correct when every spatial prescription
+        broadcasts over the slabbed axis: prescribed arrays must have
+        extent 1 along it, and coordinate-based scatters (spatial profiles,
+        hybrid mesh distances) are full-domain-indexed and never valid on a
+        slab.  (Advisor r4: an x-varying profile was applied at wrong slab
+        offsets with no error.)"""
+        import inspect
+
+        ax = self.f.tile_axis  # array axis; fields are (card, X, Y, Z)
+        dim = self.stepper.grid.dim
+        for bc in self.stepper.boundary_conditions:
+            name = type(bc).__name__
+            profile = getattr(bc, "profile", None)
+            if profile is not None and len(inspect.signature(profile).parameters) >= 1:
+                raise NotImplementedError(
+                    f"{name} has a spatial (coordinate-taking) profile, which the jnp OOC tile path "
+                    "would scatter at wrong slab offsets; use tier='fused' (it streams the aux field per slab)"
+                )
+            if getattr(bc, "_distances", None) is not None:
+                raise NotImplementedError(
+                    f"{name} carries per-voxel mesh distances, which the jnp OOC tile path would scatter "
+                    "at wrong slab offsets; use tier='fused' (it streams the aux field per slab)"
+                )
+            pv = getattr(bc, "prescribed_values", None)
+            if pv is None:
+                continue
+            arr = np.asarray(pv)
+            if arr.ndim == dim + 1 and arr.shape[ax] != 1:
+                raise NotImplementedError(
+                    f"{name} prescribes values varying along the OOC-slabbed axis "
+                    f"(shape {arr.shape}, slab axis {ax}); the jnp tile path would apply them at wrong "
+                    "slab offsets -- use tier='fused' or slab a different axis"
+                )
+
     def _tile_fn(self):
         """Jitted padded-slab window (f, bc, miss, omega) -> f, cached on
         the solver so every sweep (and every run) hits the compile cache."""
@@ -362,6 +399,8 @@ class OOCNSESolver:
             # jnp tier: the stepper's BC objects broadcast their own
             # prescribed values (size-1 spatial axes survive x-slabbing),
             # so the streamed aux operand is accepted but unused
+            self._check_jnp_slab_broadcast()
+
             def _jnp_tile(f, bc, miss, omega):
                 def body(t, carry):
                     a, b = carry

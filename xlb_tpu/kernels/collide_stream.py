@@ -570,8 +570,28 @@ def _build_kernel_body(
         has mesh distances; otherwise the halfway value applies."""
         method = spec["method"]
         use_dist = spec["use_dist"]
-        mw = spec.get("mw")  # static per-l 6 w_l (c_l . u_wall), or None
+        mw = spec.get("mw")  # static per-l 6 w_l (c_l . u_wall), "aux", or None
         miss = [missing(l) for l in range(q)]
+        if isinstance(mw, str) and mw == "aux":
+            # spatial moving wall: per-voxel wall velocity from the aux
+            # velocity channels (same channels as halfway's mw="aux")
+            u_aux = [jax.lax.index_in_dim(aux, aux_u_off + a, axis=0, keepdims=False) for a in range(d)]
+
+        def mw_term(l):
+            """Moving-wall correction 6 w_l (c_l . u_wall) for direction l:
+            a static constant, a per-voxel slab (spatial profile), or None."""
+            if mw is None:
+                return None
+            if isinstance(mw, str):  # spatial: assemble from aux velocity
+                cu = None
+                for a in range(d):
+                    ca = c[a, l]
+                    if ca == 0:
+                        continue
+                    t = u_aux[a] if ca == 1 else -u_aux[a]
+                    cu = t if cu is None else cu + t
+                return None if cu is None else cdt(6.0 * w[l]) * cu
+            return cdt(mw[l])
         if use_dist:
             w_off = aux_w_offs[spec["id"]]
             t_w = [jax.lax.index_in_dim(aux, w_off + l, axis=0, keepdims=False) for l in range(q)]
@@ -588,8 +608,9 @@ def _build_kernel_body(
                     interp = jnp.where(jnp.logical_and(miss[l], miss[opp[l]]), f_pre(opp[l]), interp)
                 else:
                     interp = f_pre(opp[l])
-                if mw is not None:
-                    interp = interp + cdt(mw[l])
+                mwl = mw_term(l)
+                if mwl is not None:
+                    interp = interp + mwl
                 f_bd.append(jnp.where(miss[l], interp, f_s[l]))
             if method == "bounceback":
                 return [jnp.where(on, f_bd[l], f_s[l]) for l in range(q)]
@@ -617,7 +638,9 @@ def _build_kernel_body(
             fp = [f_pre(l) for l in range(q)]
             rho_p, u_p = moments(fp)
             feq_p = equilibrium(rho_p, u_p)
-            if mw is not None:
+            if isinstance(mw, str) and mw == "aux":  # spatial wall velocity
+                feq_w = equilibrium(rho_p, [u_aux[a].astype(rho_p.dtype) for a in range(d)])
+            elif mw is not None:
                 uw = spec["u_wall"]  # static (d,)
                 feq_w = equilibrium(rho_p, [jnp.full_like(rho_p, cdt(uw[a])) for a in range(d)])
             else:

@@ -71,14 +71,12 @@ def bc_to_spec(bc, velocity_set):
         }
         if bc.needs_moving_wall_treatment:
             if _is_spatial_profile(bc):
-                raise NotImplementedError(
-                    "HybridBC with a spatial (coordinate-taking) wall-velocity profile is not "
-                    "supported by the fused kernel; use ComputeBackend.JAX for this configuration"
-                )
-            u_wall = np.asarray(bc.profile()).reshape(-1)
-            cu = vs._c.T.astype(np.float64) @ u_wall
-            spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
-            spec["u_wall"] = u_wall.astype(np.float64)
+                spec["mw"] = "aux"  # per-voxel wall velocity from the aux field
+            else:
+                u_wall = np.asarray(bc.profile()).reshape(-1)
+                cu = vs._c.T.astype(np.float64) @ u_wall
+                spec["mw"] = (6.0 * vs._w * cu).astype(np.float64)
+                spec["u_wall"] = u_wall.astype(np.float64)
         return spec
     if isinstance(bc, (ZouHeBC, RegularizedBC)):
         kind = "regularized" if isinstance(bc, RegularizedBC) else "zouhe"
@@ -153,7 +151,7 @@ def build_aux_field(stepper):
             keep = _keep(idx)
             for l in range(vs.q):
                 aux[(w_off + l,) + tuple(idx[:, keep])] = vals[l, keep]
-        elif isinstance(spec.get("mw"), str) and spec["mw"] == "aux":
+        if isinstance(spec.get("mw"), str) and spec["mw"] == "aux":
             if bc.indices is None:
                 raise NotImplementedError(
                     "spatial-profile BCs need voxel indices before the fused kernel is built "

@@ -1048,6 +1048,22 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         return fs
 
     def _advance(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False, mask_coarse=None, mask_mid=None, mid_ext=False):
+        """Coarsest-level stash hygiene around :meth:`_advance_impl`: the
+        ``_pending_mid_avg`` dict holds TRACERS between a child's kernel
+        pass and its parent's merge within one trace, so a coarsest-level
+        advance must start empty (a stale tracer from an aborted earlier
+        trace must never leak in) and must end empty (every stash popped
+        by exactly one ``_child_avg``)."""
+        if level == self.grid.num_levels - 1:
+            self._pending_mid_avg = {}
+            out = self._advance_impl(level, fs, bms, mms, omega_finest, probe, ext_state, mask_ext, shifted_state, mask_coarse, mask_mid, mid_ext)
+            assert not self._pending_mid_avg, (
+                f"_pending_mid_avg not drained after a coarsest-level advance: stale levels {sorted(self._pending_mid_avg)}"
+            )
+            return out
+        return self._advance_impl(level, fs, bms, mms, omega_finest, probe, ext_state, mask_ext, shifted_state, mask_coarse, mask_mid, mid_ext)
+
+    def _advance_impl(self, level, fs, bms, mms, omega_finest, probe=None, ext_state=False, mask_ext=None, shifted_state=False, mask_coarse=None, mask_mid=None, mid_ext=False):
         """Advance ``level`` by one of its own timesteps (recursively running
         2 sub-steps of each finer level).  ``fs`` is the per-level state list
         (current populations).  ``probe``, if given, is called as
@@ -1060,10 +1076,6 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         packed mask for the fused coarsest pass (windows hoist it)."""
         pp = self.precision_policy
         omega = pp.compute_dtype(compute_omega(omega_finest, level))
-        if level == self.grid.num_levels - 1:
-            # fresh trace step: drop any stale stashed side outputs (a
-            # tracer from an aborted earlier trace must never leak in)
-            self._pending_mid_avg = {}
         f = pp.cast_to_compute(fs[level])
         if shifted_state and level > 0:
             f = f + self._w_col()
