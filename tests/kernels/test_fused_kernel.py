@@ -147,12 +147,34 @@ def test_fused_spatial_moving_wall_matches_reference_step():
 
 @pytest.mark.fast
 def test_pack_masks_roundtrip():
+    """q <= 19: the raw uint8 cell type rides bits 19..26 untouched --
+    the full 253-id reference space fits the fused tier."""
     vs = init_env(D3Q19)
     rng = np.random.default_rng(0)
     miss = rng.random((vs.q, 4, 4, 8)) > 0.7
+    bc = (rng.integers(0, 254, (1, 4, 4, 8))).astype(np.uint8)  # full id space
+    bc[0, 0, 0, 0] = 255  # solid special, stored raw
+    bc[0, 1, 0, 0] = 254  # SFV special, stored raw
+    packed = np.asarray(pack_masks(jnp.asarray(bc), jnp.asarray(miss)))
+    assert (packed >= 0).all(), "q <= 19 packing must keep the sign bit clear"
+    bc_ids = (packed >> 19) & 0xFF
+    np.testing.assert_array_equal(bc_ids, bc[0].astype(np.int32))
+    unpacked = np.stack([(packed >> l) & 1 for l in range(vs.q)]).astype(bool)
+    np.testing.assert_array_equal(unpacked, miss)
+
+
+@pytest.mark.fast
+def test_pack_masks_roundtrip_d3q27():
+    """D3Q27 keeps the legacy 5-bit id field in bits 27..31 with the
+    specials remapped (254 -> 30, 255 -> 31)."""
+    from xlb_tpu.velocity_set import D3Q27
+
+    vs = init_env(D3Q27)
+    rng = np.random.default_rng(1)
+    miss = rng.random((vs.q, 4, 4, 8)) > 0.7
     bc = (rng.integers(0, 4, (1, 4, 4, 8))).astype(np.uint8)
-    bc[0, 0, 0, 0] = 255  # solid special -> packed id 31
-    bc[0, 1, 0, 0] = 254  # SFV special -> packed id 30
+    bc[0, 0, 0, 0] = 255
+    bc[0, 1, 0, 0] = 254
     packed = np.asarray(pack_masks(jnp.asarray(bc), jnp.asarray(miss)))
     bc_ids = (packed >> 27) & 31
     expected = bc[0].astype(np.int32)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xlb_tpu.kernels.collide_stream import _build_kernel_body, kernel_bc_id
+from xlb_tpu.kernels.collide_stream import _build_kernel_body, kernel_bc_id, kernel_solid_id, unpack_bc_id
 
 TILE = 8 * 512  # (sublane, lane) = (8, 512) per channel once reshaped
 
@@ -75,7 +75,7 @@ def build_fused_collide(
         omega = cdt(omega_ref[0, 0])
         f_s = [f_ref[l].astype(cdt) for l in range(q)]
         packed = mask_ref[0]
-        bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
+        bc = unpack_bc_id(packed, q)
 
         rho, u = moments(f_s)
         feq = equilibrium(rho, u)
@@ -87,13 +87,13 @@ def build_fused_collide(
             f_out = [f_out[l] + (feq_f[l] - feq[l]) for l in range(q)]
 
         for spec in specs:
-            on = bc == kernel_bc_id(spec["id"])
+            on = bc == kernel_bc_id(spec["id"], q)
             if spec["kind"] == "fullway":
                 f_out = [jnp.where(on, f_s[opp[l]], f_out[l]) for l in range(q)]
             else:
                 raise NotImplementedError(f"BC kind {spec['kind']!r} in the fused collide kernel")
 
-        solid = (bc == 31) if has_solids else None
+        solid = (bc == kernel_solid_id(q)) if has_solids else None
         for l in range(q):
             result = jnp.where(solid, f_s[l], f_out[l]) if has_solids else f_out[l]
             out[l] = result.astype(store_dtype)

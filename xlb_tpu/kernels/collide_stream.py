@@ -19,9 +19,10 @@ Design (3D):
   ~(1 + 2/TX + 2/TY) of the minimum.
 - The kernel assembles a (q, TX+2, TY+2, Z) halo tile in VMEM scratch; each
   direction's pull is then a static slice plus a lane roll.
-- ``bc_mask`` and ``missing_mask`` are pre-packed into two int32 voxel fields
-  (id and direction-bitfield) by the stepper, cutting mask traffic from
-  q+1 bytes to 8 bytes per voxel.
+- ``bc_mask`` and ``missing_mask`` are pre-packed into ONE int32 voxel field
+  (missing-direction bitfield in bits 0..q-1, BC id in the free high bits;
+  see ``bc_id_shift``) by the stepper, cutting mask traffic from q+1 bytes
+  to 4 bytes per voxel.
 - The BC list is unrolled at trace time (the Pallas analogue of the
   reference's ``wp.static`` BC unrolling, nse_stepper.py:366-380); each BC
   becomes a masked select epilogue.
@@ -42,20 +43,59 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def kernel_bc_id(bc_id):
-    """Remap a cell-type code to its packed-mask kernel id.
+def bc_id_shift(q):
+    """Bit position of the BC id field in the packed int32 mask.
 
-    The packed int32 mask holds the missing-direction bitfield in bits
-    0..q-1 (q <= 27) and a 5-bit BC id in bits 27..31; the uint8 specials
-    254 (SFV) / 255 (solid) map to 30 / 31 so everything fits.
+    The missing-direction bitfield occupies bits 0..q-1, so the free bits
+    depend on the stencil:
+
+    - q <= 19 (D2Q9/D3Q19): bits 19..26 hold the RAW uint8 cell type
+      (BC ids 1..253 plus specials 254/255 directly) -- full parity with
+      the reference's uint8 id space (boundary_condition_registry.py:6-30)
+      at zero extra traffic.  Bits 27..31 stay zero, so packed values are
+      always non-negative.
+    - q > 19 (D3Q27): only bits 27..31 are free (5 bits); ids 0..29 pack
+      directly and the specials remap 254 -> 30, 255 -> 31.
     """
+    return 19 if q <= 19 else 27
+
+
+def bc_id_mask(q):
+    """Bitmask of the BC id field width (after shifting)."""
+    return 0xFF if q <= 19 else 31
+
+
+def kernel_bc_id(bc_id, q):
+    """Remap a cell-type code to its packed-mask kernel id for a DdQq set."""
+    if q <= 19:
+        if not 0 <= bc_id <= 255:
+            raise ValueError(f"BC id {bc_id} outside the uint8 cell-type space")
+        return bc_id
     if bc_id == 254:
         return 30
     if bc_id == 255:
         return 31
     if not 0 <= bc_id < 30:
-        raise ValueError(f"BC id {bc_id} does not fit the packed-mask 5-bit id space (0..29 + specials)")
+        raise ValueError(
+            f"BC id {bc_id} does not fit the D3Q27 packed-mask 5-bit id space (0..29 + specials); "
+            "D2Q9/D3Q19 scenes carry the full uint8 id space"
+        )
     return bc_id
+
+
+def kernel_sfv_id(q):
+    """Packed id of cell type 254 (SFV / multires ghost-ring keep-out)."""
+    return 254 if q <= 19 else 30
+
+
+def kernel_solid_id(q):
+    """Packed id of cell type 255 (solid)."""
+    return 255 if q <= 19 else 31
+
+
+def unpack_bc_id(packed, q):
+    """Extract the BC id field from a packed int32 mask (traced)."""
+    return jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, bc_id_shift(q)), bc_id_mask(q))
 
 
 def kernel_collision_spec(stepper):
@@ -667,7 +707,7 @@ def _build_kernel_body(
         static (m, t) pair, see adjoint_step.staging_keys) so the reverse
         sweep differentiates the staging too.  Returns the list of
         post-collision compute-dtype slabs (unshifted, uncast)."""
-        bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
+        bc = unpack_bc_id(packed, q)
         f_s = [fs_raw[l] + cdt(w[l]) if shifted else fs_raw[l] for l in range(q)]
 
         # pre-streaming populations, read lazily: only the channels a BC
@@ -687,7 +727,7 @@ def _build_kernel_body(
         for spec in bc_specs:
             if spec["step"] != "streaming":
                 continue
-            on = bc == kernel_bc_id(spec["id"])
+            on = bc == kernel_bc_id(spec["id"], q)
             kind = spec["kind"]
             if kind == "equilibrium":
                 feq_p = spec["feq"]  # static (q,) numpy
@@ -790,7 +830,7 @@ def _build_kernel_body(
         for spec in bc_specs:
             if spec["step"] != "collision":
                 continue
-            on = bc == kernel_bc_id(spec["id"])
+            on = bc == kernel_bc_id(spec["id"], q)
             if spec["kind"] == "fullway":
                 f_out = [jnp.where(on, f_s[opp[l]], f_out[l]) for l in range(q)]
             else:
@@ -810,7 +850,7 @@ def _build_kernel_body(
             assert staging_read is not None, (
                 "extrapolation_outflow staging needs halo-tile reads; this caller requires voxel-local physics"
             )
-            on = bc == kernel_bc_id(spec["id"])
+            on = bc == kernel_bc_id(spec["id"], q)
             n = spec["normal"]  # static d-vector (outward)
             cs_speed = cdt(1.0 / np.sqrt(3.0))
 
@@ -838,7 +878,7 @@ def _build_kernel_body(
         # Skipped entirely when the stepper knows no voxel carries the
         # solid tag (bounding-box-only setups) -- saves q slab reads.
         if has_solids:
-            solid = bc == 31  # packed id of cell-type 255
+            solid = bc == kernel_solid_id(q)  # packed id of cell-type 255
             f_out = [jnp.where(solid, f_pre(l), f_out[l]) for l in range(q)]
         return f_out
 
@@ -846,8 +886,8 @@ def _build_kernel_body(
         """Shared physics body: ``read_ext(l, x0, y0)`` must return the
         (TX, TY, Z) slab of direction l at halo-tile offset (x0, y0)
         (0 = pulled from -1 side, 1 = centered, 2 = pulled from +1 side).
-        ``packed`` is the int32 mask (missing bits 0..q-1, bc id bits
-        27..31, see ``pack_masks``).  ``aux``, when given, is the (d, ...)
+        ``packed`` is the int32 mask (missing bits 0..q-1, bc id in the
+        free high bits per ``bc_id_shift``, see ``pack_masks``).  ``aux``, when given, is the (d, ...)
         per-voxel prescribed-velocity field (compute dtype) used by BC
         specs flagged spatial -- the TPU analogue of the reference's
         aux-data slots (helper_functions_bc.py:371-501)."""

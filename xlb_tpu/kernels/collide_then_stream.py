@@ -37,7 +37,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from xlb_tpu.kernels.collide_stream import _build_kernel_body, _roll_lane, kernel_bc_id, spec_uses_aux
+from xlb_tpu.kernels.collide_stream import (
+    _build_kernel_body,
+    _roll_lane,
+    kernel_bc_id,
+    kernel_sfv_id,
+    kernel_solid_id,
+    spec_uses_aux,
+    unpack_bc_id,
+)
 
 SUPPORTED_KINDS = {"fullway", "equilibrium", "do_nothing", "halfway"}
 
@@ -60,7 +68,7 @@ def _build_cts_substep(vs, collision, bc_specs, compute_dtype, store_dtype, forc
     cdt = compute_dtype
 
     def substep(f_pre, packed_e, omega):
-        bc_e = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_e, 27), 31)
+        bc_e = unpack_bc_id(packed_e, q)
         rho, u = moments(f_pre)
         feq = equilibrium(rho, u)
         f_pc = collide(f_pre, feq, omega)
@@ -71,12 +79,12 @@ def _build_cts_substep(vs, collision, bc_specs, compute_dtype, store_dtype, forc
         for spec in bc_specs:
             if spec["step"] != "collision":
                 continue
-            on = bc_e == kernel_bc_id(spec["id"])
+            on = bc_e == kernel_bc_id(spec["id"], q)
             if spec["kind"] == "fullway":
                 f_pc = [jnp.where(on, f_pre[opp[l]], f_pc[l]) for l in range(q)]
-        # ghost ring (cell-type 254 -> packed 30) keeps its exploded values;
-        # solid voxels (255 -> 31) freeze likewise
-        keep = jnp.logical_or(bc_e == 30, bc_e == 31)
+        # ghost ring (cell-type 254) keeps its exploded values; solid
+        # voxels (255) freeze likewise -- the two top packed ids
+        keep = bc_e >= kernel_sfv_id(q)
         f_pc = [jnp.where(keep, f_pre[l], f_pc[l]) for l in range(q)]
 
         Ex, Ey = f_pre[0].shape[0], f_pre[0].shape[1]
@@ -87,7 +95,7 @@ def _build_cts_substep(vs, collision, bc_specs, compute_dtype, store_dtype, forc
             f_s.append(_roll_lane(f_pc[l][x0 : x0 + Ex - 2, y0 : y0 + Ey - 2, :], cz))
 
         packed = packed_e[1:-1, 1:-1, :]
-        bc = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, 27), 31)
+        bc = unpack_bc_id(packed, q)
 
         def missing(l):
             return jax.lax.bitwise_and(jax.lax.shift_right_logical(packed, l), 1) == 1
@@ -96,7 +104,7 @@ def _build_cts_substep(vs, collision, bc_specs, compute_dtype, store_dtype, forc
         for spec in bc_specs:
             if spec["step"] != "streaming":
                 continue
-            on = bc == kernel_bc_id(spec["id"])
+            on = bc == kernel_bc_id(spec["id"], q)
             kind = spec["kind"]
             if kind == "equilibrium":
                 feq_p = spec["feq"]
@@ -111,7 +119,7 @@ def _build_cts_substep(vs, collision, bc_specs, compute_dtype, store_dtype, forc
         # solid early-out: solid voxels (255 -> 31) end the sub-step with
         # their starting populations (reference Warp nse_stepper.py:440-441;
         # same freeze as the NSE tiers)
-        solid = bc == 31
+        solid = bc == kernel_solid_id(q)
         f_s = [jnp.where(solid, f_pre[l][core], f_s[l]) for l in range(q)]
         return f_s
 
@@ -197,7 +205,7 @@ def build_fused_collide_then_stream(
             # ring outputs are garbage, so restore them from the assembled
             # input before sub-step B.
             packed_mid = packed_e[1:-1, 1:-1, :]
-            keep_mid = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_mid, 27), 31) == 30
+            keep_mid = unpack_bc_id(packed_mid, q) == kernel_sfv_id(q)
             if shifted:
                 f_mid = [
                     jnp.where(
@@ -442,7 +450,7 @@ def build_fused_cts_pair_thin(
             # shifted (<= 1 f32 ulp of the raw g; the 16-bit store rounding
             # dominates), and reuses the raw value exactly otherwise.
             packed_mid = packed_A[1:-1, 1:-1, :]
-            keep_mid = jax.lax.bitwise_and(jax.lax.shift_right_logical(packed_mid, 27), 31) >= 30
+            keep_mid = unpack_bc_id(packed_mid, q) >= kernel_sfv_id(q)
             for l in range(q):
                 src = f_pre[l][1:-1, 1:-1, :]
                 if shifted:

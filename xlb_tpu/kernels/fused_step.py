@@ -6,11 +6,15 @@ boolean ``missing_mask`` into an int32 direction bitfield (q <= 27 bits) and
 
 BCs supported in-kernel: EquilibriumBC, DoNothingBC, FullwayBounceBackBC,
 HalfwayBounceBackBC (incl. moving walls, constant or per-voxel spatial
-profiles), ZouHeBC + RegularizedBC (constant and spatial velocity,
-constant pressure), ExtrapolationOutflowBC (in-kernel staging), and
-HybridBC (all three curved-boundary methods, per-link mesh distances via
-the aux weight channels) -- the full reference BC surface.  Unknown BC
-classes raise and should use the JAX tier.
+profiles), ZouHeBC + RegularizedBC (constant and spatial velocity and
+pressure), ExtrapolationOutflowBC (in-kernel staging), and HybridBC (all
+curved-boundary methods, per-link mesh distances AND spatial moving-wall
+profiles via the aux channels) -- the full reference BC surface.  Unknown
+BC classes raise and should use the JAX tier.
+
+BC id capacity: D2Q9/D3Q19 scenes carry the full uint8 id space (1..253,
+reference parity) in the packed mask's free bits; D3Q27 is limited to 29
+distinct ids (see collide_stream.bc_id_shift).
 """
 
 from functools import partial
@@ -189,28 +193,40 @@ def stepper_force_vector(stepper):
     return None if fv is None else np.asarray(fv, dtype=np.float64)
 
 
-# packed cell-type 30 (SFV/ghost keep-out) in bits 27..31 of an int32, as a
-# Python int with int32 wraparound applied -- the canonical constant for
-# every ring/refined-region overwrite (models/multires.py, parallel/
-# multires_distribute.py use this; keep in sync with pack_masks below)
-RING_VAL = int(np.int64(30 << 27) - (1 << 32))
+def ring_val(q):
+    """Packed cell-type SFV/ghost keep-out value for a DdQq set, as a
+    Python int with int32 wraparound applied -- the canonical constant for
+    every ring/refined-region overwrite (models/multires.py, parallel/
+    multires_distribute.py; keep in sync with pack_masks below).  For
+    q <= 19 this is 254 << 19 (positive); for D3Q27, 30 << 27 (negative
+    after int32 wrap)."""
+    from xlb_tpu.kernels.collide_stream import bc_id_shift, kernel_sfv_id
+
+    v = int(np.int64(kernel_sfv_id(q)) << bc_id_shift(q))
+    return v - (1 << 32) if v >= (1 << 31) else v
 
 
 def pack_masks(bc_mask, missing_mask):
     """(bc_mask uint8 (1,*s), missing bool (q,*s)) -> one int32 (*s).
 
-    Bits 0..q-1 hold the missing-direction bitfield (q <= 27); bits 27..31
-    hold the BC id, with cell-type specials 254/255 remapped to 30/31 (see
-    collide_stream.kernel_bc_id).  One array instead of two halves the mask
-    HBM traffic and VMEM footprint of every fused kernel.
+    Bits 0..q-1 hold the missing-direction bitfield (q <= 27); the BC id
+    field sits in the free high bits per ``collide_stream.bc_id_shift``:
+    the raw uint8 cell type in bits 19..26 for q <= 19 (full 253-id
+    reference parity), or a 5-bit id in bits 27..31 for D3Q27 (specials
+    254/255 remapped to 30/31, ids capped at 29 -- see kernel_bc_id).
+    One array instead of two halves the mask HBM traffic and VMEM
+    footprint of every fused kernel.
     """
+    from xlb_tpu.kernels.collide_stream import bc_id_shift
+
     q = missing_mask.shape[0]
     assert q <= 27, f"missing bitfield needs q <= 27 bits, got {q}"
     weights = jnp.asarray([1 << l for l in range(q)], dtype=jnp.int32).reshape((q,) + (1,) * (missing_mask.ndim - 1))
     miss_i32 = jnp.sum(missing_mask.astype(jnp.int32) * weights, axis=0)
     bc = bc_mask[0].astype(jnp.int32)
-    bc = jnp.where(bc == 254, 30, jnp.where(bc == 255, 31, bc))
-    return miss_i32 | (bc << 27)
+    if q > 19:
+        bc = jnp.where(bc == 254, 30, jnp.where(bc == 255, 31, bc))
+    return miss_i32 | (bc << bc_id_shift(q))
 
 
 def _dma_step_vmem_bytes(q, tile, Z, store_itemsize, aux_nchan=0):

@@ -693,7 +693,9 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         lvl_c = self.grid.levels[L - 1]
         slc = tuple(slice(o, o + e) for o, e in zip(lvl_c.origin_in_parent, lvl_c.extent_in_parent))
         box = packed[slc]
-        solid = jax.lax.bitwise_and(jax.lax.shift_right_logical(box, 27), 31) == 31
+        from xlb_tpu.kernels.collide_stream import kernel_solid_id, unpack_bc_id
+
+        solid = unpack_bc_id(box, self.velocity_set.q) == kernel_solid_id(self.velocity_set.q)
         return packed.at[slc].set(jnp.where(solid, box, jnp.int32(self._RING_VAL)))
 
     def _build_fused_collides(self, levels):
@@ -1213,7 +1215,13 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
                 faces.append((tuple(idx), slab.astype(store_dtype)))
         return faces
 
-    from xlb_tpu.kernels.fused_step import RING_VAL as _RING_VAL  # id 30 in bits 27..31
+    @property
+    def _RING_VAL(self):
+        """Packed SFV/ghost keep-out value for this stepper's stencil
+        (fused_step.ring_val: 254 << 19 for q <= 19, 30 << 27 for D3Q27)."""
+        from xlb_tpu.kernels.fused_step import ring_val
+
+        return ring_val(self.velocity_set.q)
 
     def _overlay_faces(self, ext, faces):
         """Write the ring face slabs into the extended array as ONE fused

@@ -44,7 +44,7 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
-from xlb_tpu.kernels.fused_step import RING_VAL as _RING_VAL
+from xlb_tpu.kernels.fused_step import ring_val as _ring_val
 from xlb_tpu.parallel.pallas_distribute import _ring_perms
 
 
@@ -130,7 +130,7 @@ def wrap_cts_sharded(
         )
         g = lax.dynamic_update_slice(g, f_loc, (0, hx, hy, 0))
         g = _exchange(_exchange(g, depth, 1), depth, 2)
-        m = jnp.full((Xl + 2 * hx, Yl + 2 * hy, Ze), _RING_VAL, jnp.int32)
+        m = jnp.full((Xl + 2 * hx, Yl + 2 * hy, Ze), _ring_val(q), jnp.int32)
         m = lax.dynamic_update_slice(m, m_loc, (hx, hy, 0))
         m = _exchange(_exchange(m[None], depth, 1), depth, 2)[0]
         out = kernel(g, m, omega)
