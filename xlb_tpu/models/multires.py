@@ -84,6 +84,13 @@ def _rank_tiles(fx, fy):
     return [(t, ax, ay) for _, t, ax, ay in sorted(cands, key=lambda c: c[0])]
 
 
+def _coalesce_capable(tile, gx, gy):
+    """Whether a (tile, ring) candidate supports the in-kernel 2x2 x/y
+    coalescence side output: even rings keep fine-cell pairs aligned to
+    ext pairs, and the lane tile must hold whole 16-lane sum groups."""
+    return gx is not None and gy is not None and gx % 2 == 0 and gy % 2 == 0 and tile[1] % 16 == 0
+
+
 class MultiresIncompressibleNavierStokesStepper(Operator):
     """Dense multi-level LBM stepper.
 
@@ -243,7 +250,13 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
         # fat alignment ring.
         fx = lambda TX: None if (g := self._ring_for(X, TX)) is None else (g, (X + 2 * g) / X)
         fy = lambda TY: None if (g := self._ring_for(Y, TY)) is None else (g, (Y + 2 * g) / Y)
-        candidates = _rank_tiles(fx, fy)
+        # Coalesce-capable candidates first (stable within each group): the
+        # finest level ALWAYS coalesces into its parent, and losing the
+        # in-kernel 2x2 side output costs a separate full-interior jnp
+        # average pass that dwarfs any halo-traffic delta between tiles
+        # (measured 314 -> 1170 MLUPS on the fully-refined bf16 cavity,
+        # where the traffic ranking alone picked TY=24 over TY=32).
+        candidates = sorted(_rank_tiles(fx, fy), key=lambda c: not _coalesce_capable(*c))
         # z ring stays minimal: a 128-aligned lane extent (gz = (-Z mod 128)/2)
         # was measured SLOWER end to end (753 -> 310 MLUPS on 192^3/96^3) --
         # the larger logical Zl inflates the kernel's VMEM working-set
@@ -261,11 +274,8 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             # rounding matches the jnp tier bit-for-bit) or deviation-form
             # 16-bit storage (sums carry the deviation scale, so the
             # 16-bit rounding stays benign)
-            co = (
-                gx % 2 == 0
-                and gy % 2 == 0
-                and tile[1] % 16 == 0
-                and (self.precision_policy.store_dtype == jnp.float32 or shifted)
+            co = _coalesce_capable(tile, gx, gy) and (
+                self.precision_policy.store_dtype == jnp.float32 or shifted
             )
             try:
                 self._cts = build_fused_cts_pair_thin(
@@ -551,15 +561,14 @@ class MultiresIncompressibleNavierStokesStepper(Operator):
             gz = 1
             fx = lambda TX: None if (g := self._ring_for(X, TX)) is None else (g, (X + 2 * g) / X)
             fy = lambda TY: None if (g := self._ring_for(Y, TY)) is None else (g, (Y + 2 * g) / Y)
-            for tile, gx, gy in _rank_tiles(fx, fy):
+            mid_candidates = sorted(_rank_tiles(fx, fy), key=lambda c: not _coalesce_capable(*c))
+            for tile, gx, gy in mid_candidates:
                 # in-kernel 2x2 x/y coalescence: the PARENT's explosion-free
                 # average then reads the 4x smaller side output instead of
-                # this level's full interior (same gates as the finest pair)
-                co = (
-                    gx % 2 == 0
-                    and gy % 2 == 0
-                    and tile[1] % 16 == 0
-                    and (self.precision_policy.store_dtype == jnp.float32 or self._cts_shifted)
+                # this level's full interior (same gates as the finest pair;
+                # capable tiles ranked first for the same reason)
+                co = _coalesce_capable(tile, gx, gy) and (
+                    self.precision_policy.store_dtype == jnp.float32 or self._cts_shifted
                 )
                 try:
                     self._cts_mid[level] = build_fused_cts_pair_thin(
