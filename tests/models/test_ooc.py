@@ -251,6 +251,124 @@ def test_ooc_jnp_tier_rejects_slab_varying_prescription():
         DoNothingBC(indices=box_ne["top"]),
     ]
     stepper = IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
-    solver = OOCNSESolver(stepper, num_tiles=2, steps_per_sweep=1, tier="jnp").prepare()
+    solver = OOCNSESolver(stepper, num_tiles=2, steps_per_sweep=1, tier="jnp")
+    # the guard fires at prepare() (the tile fn is built eagerly so the
+    # population storage form is known before the host arrays are filled)
     with pytest.raises(NotImplementedError, match="slabbed axis"):
-        solver.run(1, omega=1.5)
+        solver.prepare()
+
+
+def test_ooc_host_side_prepare_matches_device():
+    """prepare(host_side=True) never materializes a global device array
+    (slab-wise masker + analytic equilibrium fill) yet must agree with the
+    stepper's device prepare bit-for-bit: masks AND populations, and the
+    sweep results stay identical."""
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.boundary import FullwayBounceBackBC
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    def _cavity3d():
+        grid = grid_factory((16, 16, 32), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+        box = grid.bounding_box_indices()
+        box_ne = grid.bounding_box_indices(remove_edges=True)
+        walls = np.unique(
+            np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1), axis=1
+        )
+        bcs = [
+            FullwayBounceBackBC(indices=walls.tolist()),
+            EquilibriumBC(rho=1.0, u=(0.04, 0.0, 0.0), indices=box_ne["top"]),
+        ]
+        return IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+
+    init_env(D3Q19)
+    sol_h = OOCNSESolver(_cavity3d(), num_tiles=4, steps_per_sweep=2).prepare(host_side=True)
+    boundary_condition_registry.reset()
+    sol_d = OOCNSESolver(_cavity3d(), num_tiles=4, steps_per_sweep=2).prepare(host_side=False)
+    np.testing.assert_array_equal(sol_h.bc_mask.to_numpy(), sol_d.bc_mask.to_numpy())
+    np.testing.assert_array_equal(sol_h.missing_mask.to_numpy(), sol_d.missing_mask.to_numpy())
+    np.testing.assert_array_equal(sol_h.f.to_numpy(), sol_d.f.to_numpy())
+    fh = sol_h.run(4, omega=1.6)
+    fd = sol_d.run(4, omega=1.6)
+    np.testing.assert_array_equal(fh, fd)
+
+
+def test_ooc_host_side_prepare_rejections():
+    """Interior-geometry and mesh BCs must be rejected loudly (their
+    dilated shells / voxelization straddle slab cuts)."""
+    import pytest
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.boundary import FullwayBounceBackBC
+
+    init_env(D3Q19)
+    grid = grid_factory((16, 16, 32), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    # a 2^3 solid block strictly inside the domain
+    g = np.indices((2, 2, 2)).reshape(3, -1) + 7
+    stepper = IncompressibleNavierStokesStepper(
+        grid, boundary_conditions=[FullwayBounceBackBC(indices=g.tolist())]
+    )
+    with pytest.raises(NotImplementedError, match="interior geometry"):
+        OOCNSESolver(stepper, num_tiles=2, steps_per_sweep=1, tier="jnp").prepare(host_side=True)
+
+
+def test_ooc_shifted_io_window_end_to_end():
+    """16-bit policies keep the OOC host copy in DEVIATION form end to end
+    (io_form='shifted'): a plain-bf16 writeback would quantize deviations
+    against the O(1) weights every sweep.  Pin: host-side + fused + bf16
+    sweep tracks the in-core jnp trajectory to bf16 deviation roundoff,
+    and the stored tiles really are deviations (g ~ 0 at rest)."""
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.boundary import FullwayBounceBackBC
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    def _cavity3d():
+        grid = grid_factory((16, 16, 128), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+        box = grid.bounding_box_indices()
+        box_ne = grid.bounding_box_indices(remove_edges=True)
+        walls = np.unique(
+            np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1), axis=1
+        )
+        bcs = [
+            FullwayBounceBackBC(indices=walls.tolist()),
+            EquilibriumBC(rho=1.0, u=(0.04, 0.0, 0.0), indices=box_ne["top"]),
+        ]
+        return IncompressibleNavierStokesStepper(grid, boundary_conditions=bcs)
+
+    init_env(D3Q19, precision="FP32BF16")
+    solver = OOCNSESolver(_cavity3d(), num_tiles=2, steps_per_sweep=2, tier="fused").prepare(host_side=True)
+    assert solver._io_shifted and solver._uses_packed
+    # initial state is exactly g = 0 (rest equilibrium in deviation form)
+    assert float(np.abs(solver.f.to_numpy().astype(np.float32)).max()) == 0.0
+    got = solver.run(4, omega=1.5)  # returned in PLAIN f32 form
+
+    boundary_condition_registry.reset()
+    stepper = _cavity3d()
+    f0, f1, bm, mm = stepper.prepare_fields()
+    fa, fb = f0, f1
+    for t in range(4):
+        fa, fb = stepper(fa, fb, bm, mm, 1.5, t)
+        fa, fb = fb, fa
+    expected = np.asarray(fa, dtype=np.float32)
+    np.testing.assert_allclose(got, expected, rtol=0.05, atol=2e-3)
+
+
+def test_window_io_form_validation():
+    """io_form='shifted' is only meaningful for deviation-form (16-bit)
+    storage; 32-bit policies must get a loud ValueError."""
+    import pytest
+    from xlb_tpu.velocity_set import D3Q19
+    from xlb_tpu.boundary import FullwayBounceBackBC
+    from xlb_tpu.kernels.fused_step import build_fused_window
+
+    init_env(D3Q19)
+    grid = grid_factory((16, 16, 32), mesh_shape=(1, 1, 1), devices=__import__("jax").devices()[:1])
+    box = grid.bounding_box_indices()
+    walls = np.unique(
+        np.concatenate([np.asarray(box[k]) for k in ("bottom", "left", "right", "front", "back")], axis=1), axis=1
+    )
+    stepper = IncompressibleNavierStokesStepper(
+        grid, boundary_conditions=[FullwayBounceBackBC(indices=walls.tolist())]
+    )
+    with pytest.raises(ValueError, match="io_form"):
+        build_fused_window(stepper, 2, io_form="shifted")
+    with pytest.raises(ValueError, match="io_form"):
+        build_fused_window(stepper, 2, io_form="banana")

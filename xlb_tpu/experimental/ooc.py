@@ -98,6 +98,13 @@ class OOCArray:
         ooc_map before a sweep: the wrap ghost of the last tile)."""
         return self.data[self._axis_slice(0, ghost)].copy()
 
+    def apply_tiles(self, fn):
+        """In-place per-tile transform ``tile -> tile`` (same shape/dtype),
+        e.g. the plain <-> deviation-form conversion of the populations."""
+        for i in range(self.num_tiles):
+            sl = self._axis_slice(i * self.tile_extent, (i + 1) * self.tile_extent)
+            self.data[sl] = fn(self.data[sl])
+
     def to_numpy(self):
         return self.data
 
@@ -194,6 +201,10 @@ class CompressedOOCArray(OOCArray):
         sl[self.tile_axis] = slice(0, ghost)
         return self._lo[0][tuple(sl)].copy()
 
+    def apply_tiles(self, fn):
+        for i in range(self.num_tiles):
+            self._store(i, fn(self._tile(i)))
+
     def compressed_nbytes(self):
         return sum(len(b) for b in self._blobs)
 
@@ -248,7 +259,7 @@ def ooc_map(fn, ooc_arrays, ghost=1, out_index=0, extra_args=(), sharding=None):
 
     def _put(tile_np):
         if sharding is None:
-            return jnp.asarray(tile_np)
+            return _put_chunked(tile_np, lead.tile_axis)
         return jax.device_put(tile_np, sharding)
 
     def _tiles(i):
@@ -275,7 +286,186 @@ def _flush(outs, pending, _interior):
     already enqueued, so the device stays busy) and write them in place."""
     i, results = pending
     for arr, res in zip(outs, results):
-        arr.write_tile(i, _interior(np.asarray(res)))
+        arr.write_tile(i, _interior(_get_chunked(res, arr.tile_axis)))
+
+
+# Host-link transfers collapse above ~200 MB on tunnel-attached devices
+# (measured on the axon v5e link: 152 MB moves at 35-90 MB/s, a single
+# 256 MB-1.5 GB buffer can drop to ~3 MB/s); split slab transfers into
+# <= _CHUNK_BYTES pieces along the tiled axis.  On a directly-attached
+# host this is a handful of extra DMA submissions -- noise.
+_CHUNK_BYTES = 160 << 20
+
+
+def _chunk_layers(shape, axis, itemsize):
+    ext = shape[axis]
+    per_layer = itemsize * int(np.prod(shape)) // max(ext, 1)
+    return max(int(_CHUNK_BYTES // max(per_layer, 1)), 1)
+
+
+def _put_chunked(tile_np, axis):
+    if tile_np.nbytes <= _CHUNK_BYTES:
+        return jnp.asarray(tile_np)
+    k = _chunk_layers(tile_np.shape, axis, tile_np.itemsize)
+    sl = [slice(None)] * tile_np.ndim
+    pieces = []
+    for a in range(0, tile_np.shape[axis], k):
+        sl[axis] = slice(a, a + k)
+        pieces.append(jnp.asarray(np.ascontiguousarray(tile_np[tuple(sl)])))
+    return jnp.concatenate(pieces, axis=axis)
+
+
+def _get_chunked(dev, axis):
+    if dev.nbytes <= _CHUNK_BYTES:
+        return np.asarray(dev)
+    k = _chunk_layers(dev.shape, axis, dev.dtype.itemsize)
+    out = np.empty(dev.shape, dtype=dev.dtype)
+    sl = [slice(None)] * dev.ndim
+    for a in range(0, dev.shape[axis], k):
+        sl[axis] = slice(a, a + k)
+        out[tuple(sl)] = np.asarray(dev[tuple(sl)])
+    return out
+
+
+def _host_slab_masks(stepper, s0, ext):
+    """Rasterize ONE x-slab's (bc_mask, missing_mask) on device and return
+    them as numpy -- the building block of :func:`prepare_fields_ooc`.
+
+    The slab covers global x in [s0, s0+ext) plus one real neighbor layer
+    on each interior side; the masker's own one-voxel pad supplies the
+    exterior-solid semantics at true domain edges (maskers.py runs the
+    same pad -> tag -> stream -> crop algorithm with ``start_index``
+    shifting, reference indices_boundary_masker.py:76-143).  Streaming
+    depth is 1, so interior results are exact after cropping the ghost."""
+    import copy
+
+    import jax.numpy as jnp
+
+    from xlb_tpu.boundary.maskers import IndicesBoundaryMasker
+
+    vs = stepper.velocity_set
+    shape = tuple(stepper.grid.shape)
+    X = shape[0]
+    lo = 1 if s0 > 0 else 0
+    hi = 1 if s0 + ext < X else 0
+    sshape = (ext + lo + hi,) + shape[1:]
+
+    clones = []
+    for bc in stepper.boundary_conditions:
+        idx = np.asarray(bc.indices)
+        keep = (idx[0] >= s0 - lo) & (idx[0] < s0 + ext + hi)
+        if not keep.any():
+            continue
+        c = copy.copy(bc)
+        c.indices = idx[:, keep]
+        clones.append(c)
+
+    masker = IndicesBoundaryMasker(vs, stepper.precision_policy, stepper.compute_backend)
+    start = (s0 - lo,) + (0,) * (len(shape) - 1)
+    # rasterize on the in-process CPU backend when one is registered: the
+    # masks land in host RAM anyway, and a tunnel-attached accelerator
+    # would pay two multi-GB transfers per slab for a setup-time op
+    import contextlib
+
+    try:
+        ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+    except RuntimeError:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        bc_mask = jnp.zeros((1,) + sshape, dtype=jnp.uint8)
+        missing = jnp.zeros((vs.q,) + sshape, dtype=bool)
+        bc_mask, missing = masker(clones, bc_mask, missing, start_index=start)
+        crop = (slice(lo, lo + ext),)
+        return (
+            np.asarray(bc_mask[(slice(None),) + crop]),
+            np.asarray(missing[(slice(None),) + crop]),
+        )
+
+
+def prepare_fields_ooc(stepper, num_tiles, compression=None, ghost_cache=8, shifted=False):
+    """Host-side field preparation for domains BEYOND device memory.
+
+    ``stepper.prepare_fields`` materializes the whole domain on device,
+    which caps OOC runs at the HBM size even though the sweep itself only
+    ever holds one slab.  This builder never creates a global device
+    array: masks are rasterized slab-by-slab on device (exact -- see
+    :func:`_host_slab_masks`) and the populations start at rest
+    equilibrium on the host (f = w per direction, i.e. exactly g = 0 in
+    deviation form).  A 1024^3 cavity (1.07e9 cells, 41 GB of bf16
+    populations) prepares in host RAM this way; the reference's OOC
+    showcase builds its fields on device per tile (ooc_array.py:15-440).
+
+    Restrictions (checked loudly): indices-based boundary-shell BCs only
+    -- no interior/solid geometry (its dilated shell could straddle slab
+    cuts), no mesh BCs, no spatial aux.  Cavity/channel/duct scenes
+    qualify.
+
+    Returns ``(f, bc_mask, missing_mask)`` host OOC arrays; ``shifted``
+    selects deviation-form (g = f - w) population storage, the correct
+    persistent form for 16-bit policies (see build_fused_window's
+    ``io_form``).
+    """
+    from xlb_tpu.kernels.fused_step import build_aux_field
+
+    shape = tuple(stepper.grid.shape)
+    X = shape[0]
+    if X % num_tiles:
+        raise ValueError(f"x extent {X} not divisible into {num_tiles} tiles")
+    ext = X // num_tiles
+    d = len(shape)
+    for bc in stepper.boundary_conditions:
+        if bc.indices is None:
+            raise NotImplementedError(
+                f"{type(bc).__name__} is mesh-based; host-side OOC prepare supports "
+                "indices-based boundary-shell BCs only"
+            )
+        idx = np.asarray(bc.indices)[:d]
+        interior = np.all((idx > 0) & (idx < np.asarray(shape)[:, None] - 1), axis=0)
+        if interior.any():
+            raise NotImplementedError(
+                f"{type(bc).__name__} tags interior geometry; host-side OOC prepare "
+                "supports boundary-shell BCs only (use the device prepare path)"
+            )
+    if build_aux_field(stepper) is not None:
+        raise NotImplementedError(
+            "spatial-aux BCs (profiles / mesh distances) are not supported by the "
+            "host-side OOC prepare path"
+        )
+
+    pp = stepper.precision_policy
+    store = np.dtype(pp.store_dtype)
+    vs = stepper.velocity_set
+    q = vs.q
+
+    g = max(int(ghost_cache), 1)
+    if compression == "zstd":
+        mk = lambda shp, dt, fill: CompressedOOCArray(shp, dt, num_tiles=num_tiles, fill_value=fill, ghost_cache=g)
+    elif compression is None:
+        mk = lambda shp, dt, fill: OOCArray(shp, dt, num_tiles=num_tiles, fill_value=fill)
+    else:
+        raise ValueError(f"compression must be None or 'zstd', got {compression!r}")
+
+    f = mk((q,) + shape, store, 0)
+    if not shifted:
+        w = np.asarray(vs._w, dtype=np.float32).reshape((q,) + (1,) * d)
+
+        def _to_eq(tile):
+            return np.broadcast_to(w.astype(store), tile.shape).copy()
+
+        f.apply_tiles(_to_eq)
+
+    bc_mask = mk((1,) + shape, np.uint8, 0)
+    missing_mask = mk((q,) + shape, bool, False)
+    has_solids = False
+    for i in range(num_tiles):
+        bm, mm = _host_slab_masks(stepper, i * ext, ext)
+        has_solids = has_solids or bool((bm == 255).any())
+        bc_mask.write_tile(i, bm)
+        missing_mask.write_tile(i, mm)
+    # static hint for the fused kernel builder (normally set by
+    # prepare_fields): 255-free domains skip the q-channel solid keep-out
+    stepper.has_solids = has_solids
+    return f, bc_mask, missing_mask
 
 
 class OOCNSESolver:
@@ -300,17 +490,49 @@ class OOCNSESolver:
         if compression not in (None, "zstd"):
             raise ValueError(f"compression must be None or 'zstd', got {compression!r}")
         self.compression = compression
+        self._io_shifted = False  # set by _build_tile_fn (fused + 16-bit storage)
+        self._uses_packed = False  # fused tier streams the packed int32 mask
+        self._packed = None
         # optional GSPMD sharding of each uploaded slab over a device mesh
         # (shard y/z, never the tiled x axis): chips AND host RAM compose
         self.sharding = sharding
 
-    def prepare(self):
-        f_0, f_1, bc_mask, missing_mask = self.stepper.prepare_fields()
+    def prepare(self, host_side=False):
+        """Build the host-resident OOC fields.
+
+        ``host_side=True`` prepares without EVER materializing a global
+        device array (:func:`prepare_fields_ooc`) -- required for domains
+        beyond device memory (the billion-cell tier); the default path
+        runs the stepper's ordinary device prepare and downloads it.
+
+        Either way, when the fused tier is active and the storage dtype is
+        16-bit, the host copy of the populations is kept in DEVIATION form
+        (g = f - w) and the per-slab window runs with ``io_form='shifted'``:
+        writing plain-form f back to bf16 after every sweep would quantize
+        the deviations against the O(1) lattice weights (~0.4% floor),
+        destroying the very conditioning the 16-bit policy relies on.  Use
+        :meth:`plain_tiles` / ``run(return_field=True)`` to read physics out.
+        """
+        self._build_tile_fn()  # decides self._io_shifted before any host fill
         if self.compression == "zstd":
             g = max(self.steps_per_sweep, 1)
             mk = lambda a: CompressedOOCArray.from_array(np.asarray(a), num_tiles=self.num_tiles, ghost_cache=g)
         else:
             mk = lambda a: OOCArray.from_array(np.asarray(a), num_tiles=self.num_tiles)
+
+        if host_side:
+            self.f, self.bc_mask, self.missing_mask = prepare_fields_ooc(
+                self.stepper, self.num_tiles, compression=self.compression,
+                ghost_cache=max(self.steps_per_sweep, 1), shifted=self._io_shifted,
+            )
+            self.aux = None  # prepare_fields_ooc rejects aux configs
+            if self._uses_packed:
+                # beyond-RAM tier: keep only the packed plane (4 B/cell),
+                # freeing the 1 + q B/cell raw masks
+                self._pack_masks_host(free_raw=True)
+            return self
+
+        f_0, f_1, bc_mask, missing_mask = self.stepper.prepare_fields()
         self.f = mk(f_0)
         self.bc_mask = mk(bc_mask)
         self.missing_mask = mk(missing_mask)
@@ -325,7 +547,52 @@ class OOCNSESolver:
         self.aux = None if aux_np is None else OOCArray.from_array(aux_np, num_tiles=self.num_tiles)
         # free the on-device copies: from here the domain is host-resident
         del f_0, f_1
+        if self._io_shifted:
+            w = self._w_host()
+
+            def _to_dev(tile):
+                return (tile.astype(np.float32) - w).astype(tile.dtype)
+
+            self.f.apply_tiles(_to_dev)
+        if self._uses_packed:
+            self._pack_masks_host()  # raw masks stay user-accessible
         return self
+
+    def _pack_masks_host(self, free_raw=False):
+        """One-time host-side pack of the static masks into the int32 plane
+        the fused sweep streams (see _build_tile_fn); runs on the in-process
+        CPU backend so no tunnel/device traffic is involved."""
+        import contextlib
+
+        from xlb_tpu.kernels.fused_step import pack_masks
+
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except RuntimeError:  # no CPU backend registered: pack on the default device
+            ctx = contextlib.nullcontext()
+        packed = OOCArray((1,) + tuple(self.bc_mask.shape[1:]), np.int32, num_tiles=self.num_tiles)
+        with ctx:
+            for i in range(self.num_tiles):
+                bm = self.bc_mask.padded_tile(i, 0)
+                mm = self.missing_mask.padded_tile(i, 0)
+                packed.write_tile(i, np.asarray(pack_masks(bm, mm))[None])
+        self._packed = packed
+        if free_raw:
+            self.bc_mask = None
+            self.missing_mask = None
+
+    def _w_host(self):
+        vs = self.stepper.velocity_set
+        return np.asarray(vs._w, dtype=np.float32).reshape((vs.q,) + (1,) * vs.d)
+
+    def plain_tiles(self):
+        """Yield ``(i, tile)`` with the populations in PLAIN f32 form (one
+        tile's worth of host memory at a time), whatever the stored form --
+        the streaming read-out for beyond-RAM diagnostics."""
+        w = self._w_host()
+        for i in range(self.f.num_tiles):
+            t = self.f.padded_tile(i, 0).astype(np.float32)
+            yield i, (t + w if self._io_shifted else t)
 
     def _check_jnp_slab_broadcast(self):
         """Fail loudly on BC configurations the jnp tile path would silently
@@ -338,7 +605,10 @@ class OOCNSESolver:
         offsets with no error.)"""
         import inspect
 
-        ax = self.f.tile_axis  # array axis; fields are (card, X, Y, Z)
+        # array axis; fields are (card, X, Y, Z).  The solver always slabs
+        # x (axis 1); self.f may not exist yet (the tile fn is built before
+        # the host arrays so the storage form is known at fill time)
+        ax = getattr(self, "f", None).tile_axis if getattr(self, "f", None) is not None else 1
         dim = self.stepper.grid.dim
         for bc in self.stepper.boundary_conditions:
             name = type(bc).__name__
@@ -365,12 +635,21 @@ class OOCNSESolver:
                 )
 
     def _tile_fn(self):
+        return self._build_tile_fn()
+
+    def _build_tile_fn(self):
         """Jitted padded-slab window (f, bc, miss, omega) -> f, cached on
-        the solver so every sweep (and every run) hits the compile cache."""
+        the solver so every sweep (and every run) hits the compile cache.
+        Also decides ``self._io_shifted``: with a fused window and 16-bit
+        storage, slab I/O stays in deviation form end to end (zero
+        conversion passes, and no per-sweep plain-bf16 quantization)."""
         if getattr(self, "_tile_jit", None) is not None:
             return self._tile_jit
+        from xlb_tpu.kernels.fused_step import build_aux_field
+
         stepper, g = self.stepper, self.steps_per_sweep
-        has_aux = getattr(self, "aux", None) is not None
+        has_aux = build_aux_field(stepper) is not None
+        self._io_shifted = False
         tile_fn = None
         want_fused = self.tier == "fused" or (self.tier == "auto" and jax.default_backend() != "cpu")
         if want_fused:
@@ -378,23 +657,36 @@ class OOCNSESolver:
                 from xlb_tpu.kernels.fused_step import build_fused_window
 
                 slab_shape = list(stepper.grid.shape)
-                slab_shape[0] = self.f.tile_extent + 2 * g  # padded slab x-extent
-                window = build_fused_window(stepper, g, shape_override=tuple(slab_shape))
+                slab_shape[0] = stepper.grid.shape[0] // self.num_tiles + 2 * g  # padded slab x-extent
+                shifted_io = jnp.dtype(stepper.precision_policy.store_dtype).itemsize < 4
+                window = build_fused_window(
+                    stepper, g, shape_override=tuple(slab_shape),
+                    io_form="shifted" if shifted_io else "plain",
+                    pre_packed=True,
+                )
+                self._io_shifted = shifted_io
+                # the fused sweep streams ONE pre-packed int32 mask plane
+                # ((1, *s), packed once at prepare) instead of uint8 bc +
+                # q-channel bool missing: 4 bytes/cell over the host link
+                # instead of 1 + q, and no per-slab pack pass on device
+                self._uses_packed = True
 
                 if has_aux:
 
-                    def tile_fn(f, bc, miss, aux, omega):
-                        a, _ = window(f, f, bc, miss, omega, aux=aux)
+                    def tile_fn(f, packed, aux, omega):
+                        a, _ = window(f, f, packed[0], None, omega, aux=aux)
                         return a.astype(f.dtype)
                 else:
 
-                    def tile_fn(f, bc, miss, omega):
-                        a, _ = window(f, f, bc, miss, omega)
+                    def tile_fn(f, packed, omega):
+                        a, _ = window(f, f, packed[0], None, omega)
                         return a.astype(f.dtype)
             except (NotImplementedError, AssertionError):
                 if self.tier == "fused":
                     raise
                 tile_fn = None  # auto: config unsupported by the fused window
+                self._io_shifted = False
+                self._uses_packed = False
         if tile_fn is None:
             # jnp tier: the stepper's BC objects broadcast their own
             # prescribed values (size-1 spatial axes survive x-slabbing),
@@ -418,15 +710,28 @@ class OOCNSESolver:
         self._tile_jit = jax.jit(tile_fn)
         return self._tile_jit
 
-    def run(self, num_steps, omega):
+    def run(self, num_steps, omega, return_field=True):
+        """Advance ``num_steps``; returns the populations in PLAIN form
+        (f32 when the stored form is deviations), or None with
+        ``return_field=False`` -- beyond-RAM domains should stream
+        diagnostics through :meth:`plain_tiles` instead of materializing
+        a second full-domain copy."""
         g = self.steps_per_sweep
         if num_steps % g:
             raise ValueError(f"num_steps {num_steps} must be a multiple of steps_per_sweep {g}")
         jfn = self._tile_fn()
         om = jnp.asarray(omega, dtype=jnp.float32)
-        arrays = [self.f, self.bc_mask, self.missing_mask]
+        if self._uses_packed:
+            arrays = [self.f, self._packed]
+        else:
+            arrays = [self.f, self.bc_mask, self.missing_mask]
         if getattr(self, "aux", None) is not None:
             arrays.append(self.aux)
         for _ in range(num_steps // g):
             ooc_map(jfn, arrays, ghost=g, extra_args=(om,), sharding=self.sharding)
+        if not return_field:
+            return None
+        if self._io_shifted:
+            ax = self.f.tile_axis
+            return np.concatenate([t for _, t in self.plain_tiles()], axis=ax)
         return self.f.to_numpy()

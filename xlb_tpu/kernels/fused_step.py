@@ -623,7 +623,7 @@ def build_fused_forced_step(stepper, tile=None, interpret=None):
     return step
 
 
-def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None, temporal_steps=None, shape_override=None, donate=False):
+def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dma", shifted=None, two_step=None, temporal_steps=None, shape_override=None, donate=False, io_form="plain", pre_packed=False):
     """A jitted ``num_steps``-window of the fused step with optional
     deviation-form (shifted) storage between steps.
 
@@ -648,11 +648,31 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
     would silently erase deviations below ~0.4% of the lattice weights
     (the state lives in the deviations).  The next window re-shifts from
     any input dtype, so windows chain losslessly.
+
+    ``io_form="shifted"`` (16-bit policies only) moves that boundary to the
+    CALLER: ``run`` consumes AND returns deviation-form populations in the
+    store dtype, with no conversion passes.  This is the correct interface
+    when the field persists outside the window in 16 bits -- e.g. the
+    out-of-core host slabs (experimental/ooc.py), where a plain-form bf16
+    writeback would quantize the deviations against the O(1) weights every
+    sweep.  Ghost/pad cells use g = 0 (resting equilibrium).
+
+    ``pre_packed=True``: ``run``'s bc_mask operand is the ALREADY-PACKED
+    int32 mask (pack_masks) and missing_mask is ignored (pass None).  The
+    out-of-core sweep streams one int32 plane instead of uint8 + q bools
+    -- 4 bytes/cell over the host link instead of 1 + q (ooc.py packs
+    once at prepare time; masks are static).
     """
     vs = stepper.velocity_set
     pp = stepper.precision_policy
     if shifted is None:
         shifted = jnp.dtype(pp.store_dtype).itemsize < 4
+    if io_form not in ("plain", "shifted"):
+        raise ValueError(f"io_form must be 'plain' or 'shifted', got {io_form!r}")
+    io_shifted = io_form == "shifted"
+    if io_shifted and not shifted:
+        raise ValueError("io_form='shifted' requires deviation-form (16-bit) storage")
+    convert = shifted and not io_shifted  # window-boundary plain <-> deviation passes
     has_solids = getattr(stepper, "has_solids", True)
     force_vector = stepper_force_vector(stepper)
     aux_np = build_aux_field(stepper)
@@ -799,7 +819,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             win_bwd = None  # unsupported config: window stays forward-only
 
     def _value(f_0, mask_i32, omega_c, aux):
-        g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
+        g = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if convert else f_0
         if fused2 is not None:
             k = temporal_steps
             g = jax.lax.fori_loop(0, num_steps // k, lambda i, g: fused2(g, mask_i32, omega_c, aux=aux), g)
@@ -807,7 +827,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
                 g = fused(g, mask_i32, omega_c, aux=aux)
         else:
             g = jax.lax.fori_loop(0, num_steps, lambda i, g: fused(g, mask_i32, omega_c, aux=aux), g)
-        return g.astype(pp.compute_dtype) + w_shift.astype(pp.compute_dtype) if shifted else g
+        return g.astype(pp.compute_dtype) + w_shift.astype(pp.compute_dtype) if convert else g
 
     if win_bwd is None:
         _window = _value
@@ -824,7 +844,7 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
             import numpy as _np
 
             f_0, mask_i32, omega_c, aux = res
-            g0 = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if shifted else f_0
+            g0 = (f_0.astype(pp.compute_dtype) - w_shift).astype(pp.store_dtype) if convert else f_0
 
             def fwd_scan(gc, _):
                 return fused(gc, mask_i32, omega_c, aux=aux), gc
@@ -863,16 +883,27 @@ def build_fused_window(stepper, num_steps, tile=None, interpret=None, kernel="dm
         # and exactly g = 0 in deviation-form storage
         if not z_pad:
             return x
+        if io_shifted:  # input is already deviation-form: pad g = 0
+            return _pad_z(x)
         w_col = jnp.broadcast_to(
             jnp.asarray(vs._w, x.dtype).reshape((-1,) + (1,) * 3), x.shape[:-1] + (z_pad,)
         )
         return jnp.concatenate([x, w_col], axis=-1)
 
+    # packed value of a solid pad cell (bc 255, no missing bits), for the
+    # pre-packed path's z padding; int32 wrap covers the q=27 high-bit id
+    from xlb_tpu.kernels.collide_stream import bc_id_shift
+
+    _packed_solid = int(np.int32(np.uint32(((31 if vs.q > 19 else 255) << bc_id_shift(vs.q)) & 0xFFFFFFFF)))
+
     @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def _run(f_0, f_1, bc_mask, missing_mask, omega, aux):
         # internal z padding: pad once per window, crop once (pad columns
         # are solid keep-out cells; lane rolls wrap at the logical extent)
-        mask_i32 = pack_masks(_pad_z(bc_mask, 255), _pad_z(missing_mask, False))
+        if pre_packed:
+            mask_i32 = _pad_z(bc_mask, _packed_solid)
+        else:
+            mask_i32 = pack_masks(_pad_z(bc_mask, 255), _pad_z(missing_mask, False))
         omega_c = jnp.asarray(omega, dtype=pp.compute_dtype)
         f_out = _window(_pad_f(f_0), mask_i32, omega_c, aux)
         if z_pad:
