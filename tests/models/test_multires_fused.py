@@ -295,3 +295,24 @@ def test_fused_four_levels_matches_naive():
     for lvl, (la, lc) in enumerate(zip(a, c)):
         diff = float(jnp.abs(la.astype(jnp.float32) - lc.astype(jnp.float32)).max())
         assert diff < 5e-6, f"4-level fused WINDOW diverges from naive at level {lvl} by {diff}"
+
+
+@pytest.mark.fast
+def test_tile_ranking_prefers_coalesce_capable():
+    """Regression guard for the 3.7x fully-refined-bf16 slowdown: the
+    kernel-tile ranker must place coalesce-capable (tile, ring) candidates
+    first, for BOTH precisions and at the production 96^3 shape -- losing
+    the in-kernel 2x2 side output costs a separate full-interior average
+    pass that dwarfs any halo-traffic delta (docs/performance.md)."""
+    from xlb_tpu.boundary.registry import boundary_condition_registry
+
+    for precision in ("FP32FP32", "FP32BF16"):
+        boundary_condition_registry.reset()
+        init_env(D3Q19, precision=precision)
+        n = 96
+        grid = MultiresGrid((n, n, n), boxes=[((0, 0, 0), (n, n, n))])
+        st = MultiresIncompressibleNavierStokesStepper(
+            grid, boundary_conditions={}, mres_perf_opt=MresPerfOptimizationType.FUSION_AT_FINEST
+        )
+        assert st._cts is not None, precision
+        assert st._cts_has_coalesce, (precision, st.active_finest_tier)
