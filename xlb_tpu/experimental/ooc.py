@@ -482,11 +482,16 @@ class OOCNSESolver:
     """
 
     def __init__(self, stepper, num_tiles, steps_per_sweep=1, tier="auto", compression=None,
-                 sharding=None):
+                 sharding=None, window_kwargs=None):
         self.stepper = stepper
         self.num_tiles = int(num_tiles)
         self.steps_per_sweep = int(steps_per_sweep)
         self.tier = tier
+        # extra build_fused_window options for the per-slab window, e.g.
+        # temporal_steps=1 at lane extents where the k-step kernel's real
+        # VMEM (register spills included) overshoots the builder's estimate
+        # -- the sweep is link-bound, so deeper blocking buys nothing anyway
+        self.window_kwargs = dict(window_kwargs or {})
         if compression not in (None, "zstd"):
             raise ValueError(f"compression must be None or 'zstd', got {compression!r}")
         self.compression = compression
@@ -513,7 +518,6 @@ class OOCNSESolver:
         destroying the very conditioning the 16-bit policy relies on.  Use
         :meth:`plain_tiles` / ``run(return_field=True)`` to read physics out.
         """
-        self._build_tile_fn()  # decides self._io_shifted before any host fill
         if self.compression == "zstd":
             g = max(self.steps_per_sweep, 1)
             mk = lambda a: CompressedOOCArray.from_array(np.asarray(a), num_tiles=self.num_tiles, ghost_cache=g)
@@ -521,11 +525,20 @@ class OOCNSESolver:
             mk = lambda a: OOCArray.from_array(np.asarray(a), num_tiles=self.num_tiles)
 
         if host_side:
+            # shell-only BCs (enforced by prepare_fields_ooc) never tag
+            # BC_SOLID voxels, so the kernel builds without the q-channel
+            # solid keep-out; decided BEFORE the window so the compiled
+            # HLO matches (prepare_fields_ooc re-derives and asserts it)
+            self.stepper.has_solids = False
+            self._build_tile_fn()  # decides self._io_shifted before the host fill
             self.f, self.bc_mask, self.missing_mask = prepare_fields_ooc(
                 self.stepper, self.num_tiles, compression=self.compression,
                 ghost_cache=max(self.steps_per_sweep, 1), shifted=self._io_shifted,
             )
             self.aux = None  # prepare_fields_ooc rejects aux configs
+            assert not self.stepper.has_solids, (
+                "host-side prepare found BC_SOLID voxels after building a keep-out-free kernel"
+            )
             if self._uses_packed:
                 # beyond-RAM tier: keep only the packed plane (4 B/cell),
                 # freeing the 1 + q B/cell raw masks
@@ -533,6 +546,7 @@ class OOCNSESolver:
             return self
 
         f_0, f_1, bc_mask, missing_mask = self.stepper.prepare_fields()
+        self._build_tile_fn()  # after prepare_fields: the solid hint is now real
         self.f = mk(f_0)
         self.bc_mask = mk(bc_mask)
         self.missing_mask = mk(missing_mask)
@@ -662,7 +676,7 @@ class OOCNSESolver:
                 window = build_fused_window(
                     stepper, g, shape_override=tuple(slab_shape),
                     io_form="shifted" if shifted_io else "plain",
-                    pre_packed=True,
+                    pre_packed=True, **self.window_kwargs,
                 )
                 self._io_shifted = shifted_io
                 # the fused sweep streams ONE pre-packed int32 mask plane
