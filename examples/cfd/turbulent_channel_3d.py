@@ -149,9 +149,20 @@ def run_validation(nx=192, ny=96, nz=64, re_tau=180.0, u_tau=0.006, dev_steps=16
         f_0, f_1, acc = jax.lax.fori_loop(0, n, body, (f_0, f_1, acc))
         return f_0, f_1, acc
 
+    # one dispatch per <=2000 samples (16000 steps): a single 80000-step
+    # dispatch is ~8 min of tunnel silence and reproducibly crashes the
+    # remote worker (same pathology the sphere benchmark documents); the
+    # 20000-step development windows above are the proven-safe dispatch
+    # size, and the scalar fetch between chunks keeps the link alive
     n_samples = avg_steps // sample_every
+    chunk = min(n_samples, 2000)
     acc = jnp.zeros((nz,), jnp.float32)
-    f_0, f_1, acc = sample_window(f_0, f_1, acc, n_samples)
+    done = 0
+    while done < n_samples:
+        k = min(chunk, n_samples - done)
+        f_0, f_1, acc = sample_window(f_0, f_1, acc, k)
+        float(acc[0])  # sync (block_until_ready lies through the tunnel)
+        done += k
     mean_profile = np.asarray(acc) / n_samples
 
     dev, yplus, uplus, dns_uplus = compare_to_dns(mean_profile, u_tau, visc)
